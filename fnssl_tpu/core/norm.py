@@ -1,0 +1,82 @@
+"""Online magnitude normalization (streaming-friendly).
+
+``forgetting_norm`` reproduces the reference's exponential running mean of the
+per-frame magnitude (FN-SSL/utils.py:9-55) including its start-up quirk:
+the effective smoothing factor at frame i is
+
+    alp_i = min((i-1)/(i+1), alpha),  alpha = (L-1)/(L+1)
+
+(at i=0 this gives alp=-1, i.e. mu_0 = 2*mean(frame_0); the branchy
+python-loop form in the reference is identical to this closed form for every
+i, so a single `lax.scan` replaces the 298-iteration python loop).
+
+The scan carry is exposed so streaming inference can continue the statistics
+across chunks — a capability the reference's batch-only implementation lacks.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ForgettingNormState(NamedTuple):
+    """Streaming carry: running mean and absolute frame index."""
+    mu: jax.Array      # (nb,) running magnitude mean
+    frame0: jax.Array  # () int32, index of the next frame
+
+
+def init_state(nb: int) -> ForgettingNormState:
+    return ForgettingNormState(mu=jnp.zeros((nb,), jnp.float32),
+                               frame0=jnp.zeros((), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("sample_length",))
+def forgetting_norm(mag: jax.Array, sample_length: int = 298) -> jax.Array:
+    """Running mean of |STFT| over frames.
+
+    Args:
+      mag: (nb, nch, nf, nt) magnitude.
+    Returns:
+      (nb, 1, 1, nt) divisor (caller divides real/imag by it + eps), exactly
+      like the reference's return value.
+    """
+    out, _ = forgetting_norm_streaming(mag, init_state(mag.shape[0]),
+                                       sample_length=sample_length)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("sample_length",))
+def forgetting_norm_streaming(
+    mag: jax.Array, state: ForgettingNormState, *, sample_length: int = 298
+) -> tuple[jax.Array, ForgettingNormState]:
+    """Chunked variant carrying running statistics across calls."""
+    nb, nch, nf, nt = mag.shape
+    x = mag.reshape(nb, nch * nf, nt)
+    frame_mean = jnp.mean(x, axis=1)  # (nb, nt)
+
+    alpha = (sample_length - 1) / (sample_length + 1)
+    i = state.frame0 + jnp.arange(nt, dtype=jnp.float32)
+    alp = jnp.minimum((i - 1.0) / (i + 1.0), alpha)  # (nt,)
+
+    def step(mu, inp):
+        a, m = inp
+        mu = a * mu + (1.0 - a) * m
+        return mu, mu
+
+    mu_last, mus = jax.lax.scan(step, state.mu, (alp, frame_mean.T))
+    out = mus.T.reshape(nb, 1, 1, nt)
+    new_state = ForgettingNormState(mu=mu_last,
+                                    frame0=state.frame0 + nt)
+    return out, new_state
+
+
+def offline_norm(mag: jax.Array) -> jax.Array:
+    """Global magnitude mean, the offline-IPDnet normalizer
+    (reference: IPDnet/runIPDnetOff.py:249-251). mag: (nb, nch, nf, nt)."""
+    nb, nch, nf, nt = mag.shape
+    mean = jnp.mean(mag.reshape(nb, -1), axis=1)
+    return mean.reshape(nb, 1, 1, 1)

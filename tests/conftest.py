@@ -1,0 +1,30 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Tests must run without TPU hardware and must exercise multi-device sharding,
+so we create 8 virtual CPU devices before JAX initializes (the fake-backend
+capability the reference lacks, SURVEY.md §4).
+"""
+import os
+
+# The session environment pins JAX_PLATFORMS to the real TPU backend;
+# tests always run on the virtual CPU mesh, so override unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The container's sitecustomize registers the axon TPU PJRT plugin and pins
+# jax to it; env vars alone don't win, so force the CPU platform here.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
