@@ -1,0 +1,3 @@
+from fnssl_tpu.parallel.mesh import (
+    make_mesh, batch_sharding, replicated_sharding, shard_batch,
+    replicate_params, host_local_slice)

@@ -1,0 +1,73 @@
+"""Device-mesh data parallelism.
+
+The reference's entire distributed story is data parallelism over NCCL
+(torch DDP / DataParallel, SURVEY.md §2.9). The TPU-native equivalent is a
+1-D ``jax.sharding.Mesh`` over the ``data`` axis: the batch is sharded, the
+parameters are replicated, and XLA inserts the gradient all-reduce over ICI
+when the loss is jitted with these shardings — no hand-written collectives.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh``;
+``host_local_slice`` reproduces the reference's deterministic per-rank data
+sharding (IPDnet2/sampler.py:20-97 semantics).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dim across the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Place every array leaf of a batch pytree batch-sharded on the mesh."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_params(params, mesh: Mesh):
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), params)
+
+
+def host_local_slice(num_items: int, epoch: int, seed: int = 2,
+                     process_index: int | None = None,
+                     process_count: int | None = None,
+                     shuffle: bool = True) -> list[tuple[int, int]]:
+    """Deterministic per-host (index, item_seed) schedule.
+
+    Reproduces MyDistributedSampler semantics (IPDnet2/sampler.py:20-97):
+    every host derives the same epoch-seeded permutation, pads to a multiple
+    of the world size, takes a strided slice, and pairs each index with a
+    per-item seed so on-the-fly augmentation is reproducible across ranks
+    and resumes.
+    """
+    rank = jax.process_index() if process_index is None else process_index
+    world = jax.process_count() if process_count is None else process_count
+    g = np.random.default_rng(seed + epoch)
+    order = (g.permutation(num_items) if shuffle
+             else np.arange(num_items))
+    item_seeds = g.integers(0, 2 ** 31 - 1, size=num_items)
+    total = -(-num_items // world) * world
+    if total > num_items:  # pad by wrapping, like DistributedSampler
+        pad = total - num_items
+        order = np.concatenate([order, order[:pad]])
+        item_seeds = np.concatenate([item_seeds, item_seeds[:pad]])
+    return [(int(order[i]), int(item_seeds[i]))
+            for i in range(rank, total, world)]

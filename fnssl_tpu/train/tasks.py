@@ -1,0 +1,75 @@
+"""End-to-end task definitions: preprocessing + model + loss as one fn.
+
+Each task builds ``loss_fn(params, batch, rng) -> scalar`` consumed by
+train.step.make_train_step, fusing the reference's
+data_preprocess → forward → cal_loss chain (Lightning/main.py:149-157)
+into a single XLA program.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from fnssl_tpu.models.fnssl import FNSSLConfig, fnssl_apply
+from fnssl_tpu.physics.dpipd import DPIPD
+from fnssl_tpu.train.losses import mse_ipd_loss
+from fnssl_tpu.train.preprocess import make_fnssl_preprocess
+
+# 2-mic linear array at ±4 cm — the FN-SSL training array
+# (Lightning/main.py:121-123).
+DUALCH_MIC_LOCATION = np.array([[-0.04, 0.0, 0.0], [0.04, 0.0, 0.0]])
+
+
+class FNSSLTask(NamedTuple):
+    loss_fn: object
+    preprocess: object
+    cfg: FNSSLConfig
+    dpipd: DPIPD
+
+
+def make_fnssl_task(cfg: FNSSLConfig = FNSSLConfig(),
+                    mic_location: np.ndarray = DUALCH_MIC_LOCATION,
+                    ch_mode: str = "MM", nfft: int = 512,
+                    fs: int = 16000, speed: float = 340.0,
+                    res_the: int = 37, res_phi: int = 73) -> FNSSLTask:
+    """FN-SSL DP-IPD regression task (the flagship model).
+
+    Batch contract: dict with
+      'mic_sig' (nb, nsample, nch) float32,
+      'doa' (nb, nt2, 2, ns) radians,
+      'vad' (nb, nt2, ns) soft VAD at the output frame rate.
+    """
+    dpipd = DPIPD(ndoa_candidate=[res_the, res_phi],
+                  mic_location=mic_location, nf=nfft // 2 + 1,
+                  fre_max=fs / 2, ch_mode=ch_mode, speed=speed)
+    preprocess = make_fnssl_preprocess(dpipd, ch_mode=ch_mode, nfft=nfft)
+
+    def loss_fn(params, batch, rng):
+        feats, gt = preprocess(batch["mic_sig"], batch["doa"], batch["vad"])
+        pred = fnssl_apply(params, feats, cfg=cfg, rng=rng,
+                           training=rng is not None)
+        return mse_ipd_loss(pred, gt["ipd"], nb=batch["mic_sig"].shape[0])
+
+    return FNSSLTask(loss_fn, preprocess, cfg, dpipd)
+
+
+def synthetic_fnssl_batch(nb: int = 2, t_s: float = 4.79, fs: int = 16000,
+                          nch: int = 2, ns: int = 1, seed: int = 0,
+                          win_len: int = 512, win_shift_ratio: float = 0.5,
+                          pool: int = 12):
+    """Random batch matching the FN-SSL data contract (for smoke/bench)."""
+    from fnssl_tpu.core.stft import num_frames
+
+    rng = np.random.default_rng(seed)
+    nsample = int(t_s * fs)
+    nt = num_frames(nsample, win_len, win_shift_ratio, center=False)
+    nt2 = nt // pool
+    return {
+        "mic_sig": rng.standard_normal((nb, nsample, nch)).astype(np.float32),
+        "doa": np.stack([
+            np.full((nb, nt2, ns), np.pi / 2, np.float32),
+            rng.uniform(-np.pi, np.pi, (nb, nt2, ns)).astype(np.float32),
+        ], axis=2),
+        "vad": np.ones((nb, nt2, ns), np.float32),
+    }
