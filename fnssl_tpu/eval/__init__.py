@@ -1,0 +1,7 @@
+from fnssl_tpu.eval.decode import (
+    DecodeResult, spatial_spectrum, idl_decode, pd_decode, time_pool_ipd,
+    template_ri)
+from fnssl_tpu.eval.metrics import (
+    angular_error, get_metric_single, get_metric_multiple)
+from fnssl_tpu.eval.pred_doa import PredDOA
+from fnssl_tpu.eval.vis import vis_doa, locata_plot

@@ -1,0 +1,83 @@
+"""End-to-end prediction → DOA → metrics wrapper.
+
+Parity: FN-SSL Lightning PredDOA (Lightning/Module.py:650-773) for the
+single-source FN-SSL path, and IPDnet's multi-track PredDOA
+(IPDnet/Module.py:423-600) decode conventions.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from fnssl_tpu.core.pairs import pair_unbatch
+from fnssl_tpu.eval.decode import (
+    idl_decode, pd_decode, template_ri, time_pool_ipd)
+from fnssl_tpu.eval.metrics import get_metric_multiple, get_metric_single
+from fnssl_tpu.physics.dpipd import DPIPD
+
+
+class PredDOA:
+    """DOA decoding + metric wrapper for the 2-mic FN-SSL model.
+
+    The decode grid is the reference's: full (res_the × res_phi) far-field
+    template cropped to the single ele=π/2 row and the half azimuth plane
+    re-labelled 0..π over 37 points (Lightning/Module.py:716-721).
+    """
+
+    def __init__(self, method_mode: str = "IDL",
+                 source_num_mode: str = "kNum", max_num_sources: int = 1,
+                 res_the: int = 37, res_phi: int = 73, fs: int = 16000,
+                 nfft: int = 512, ch_mode: str = "MM",
+                 mic_location=((-0.04, 0.0, 0.0), (0.04, 0.0, 0.0)),
+                 speed: float = 340.0):
+        self.method_mode = method_mode
+        self.source_num_mode = source_num_mode
+        self.max_num_sources = max_num_sources
+        self.fre_used = slice(1, nfft // 2 + 1)
+        dpipd = DPIPD(ndoa_candidate=[res_the, res_phi],
+                      mic_location=np.asarray(mic_location),
+                      nf=nfft // 2 + 1, fre_max=fs / 2, ch_mode=ch_mode,
+                      speed=speed)
+        tmpl = template_ri(dpipd.template, self.fre_used)
+        nele, nazi = tmpl.shape[:2]
+        # crop: middle elevation row, half azimuth plane (redefined 0..π)
+        self.template = jnp.asarray(
+            tmpl[(nele - 1) // 2: (nele - 1) // 2 + 1, (nazi - 1) // 2:])
+        self.ele_candidate = jnp.asarray(np.array([np.pi / 2]))
+        self.azi_candidate = jnp.asarray(np.linspace(0.0, np.pi, 37))
+
+    def predgt2doa(self, pred_ipd, gt_batch=None, time_pool_size=None):
+        """(nb·P, nt, 2nf) model output → pred dict {'doa','vad_sources',
+        'spatial_spectrum'} (radians)."""
+        p = self.template.shape[-1]
+        nb = pred_ipd.shape[0] // p
+        ipd = pair_unbatch(jnp.asarray(pred_ipd), nb)  # (nb, P, nt, 2nf)
+        ipd = jnp.transpose(ipd, (0, 2, 3, 1))         # (nb, nt, 2nf, P)
+        if time_pool_size:
+            ipd = time_pool_ipd(ipd, time_pool_size)
+        decode = idl_decode if self.method_mode == "IDL" else pd_decode
+        res = decode(ipd, self.template, self.ele_candidate,
+                     self.azi_candidate,
+                     max_num_sources=self.max_num_sources,
+                     source_num_mode=self.source_num_mode)
+        pred = {"doa": res.doa, "vad_sources": res.vad,
+                "spatial_spectrum": res.spatial_spectrum}
+        return pred, gt_batch
+
+    def evaluate(self, pred, gt, ae_mode: Sequence[str] = ("azi",),
+                 ae_th: float = 5.0, use_vad: bool = True,
+                 vad_th=(2 / 3, 2 / 3), source_mode: str = "single"):
+        """Metrics in degrees (Lightning/Module.py:748-773 defaults)."""
+        doa_gt = np.degrees(np.asarray(gt["doa"], np.float64))
+        doa_est = np.degrees(np.asarray(pred["doa"], np.float64))
+        fn = (get_metric_single if source_mode == "single"
+              else get_metric_multiple)
+        return fn(doa_gt, np.asarray(gt["vad_sources"]), doa_est,
+                  np.asarray(pred["vad_sources"]), ae_mode=ae_mode,
+                  ae_th=ae_th, use_vad=use_vad, vad_th=vad_th)
+
+    def __call__(self, pred_batch, gt_batch, **metric_kw):
+        pred, gt = self.predgt2doa(pred_batch, gt_batch)
+        return self.evaluate(pred, gt, **metric_kw)

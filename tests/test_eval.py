@@ -1,0 +1,138 @@
+"""Eval-layer parity tests against the reference torch implementation."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+
+from fnssl_tpu.eval import (
+    PredDOA, get_metric_multiple, get_metric_single, idl_decode, pd_decode,
+    spatial_spectrum)
+from tests.reference_oracle import load_reference_module
+
+
+@pytest.fixture(scope="module")
+def ref_module():
+    return load_reference_module("FN-SSL/Lightning/Module.py", "ref_module",
+                                 extra_sys_path="/root/reference/FN-SSL")
+
+
+def _rand_decode_inputs(rng, nb=2, nt=5, f=16, p=1, nele=3, nazi=9):
+    pred = rng.standard_normal((nb, nt, f, p)).astype(np.float32)
+    tmpl = rng.standard_normal((nele, nazi, f, p)).astype(np.float32)
+    ele = np.linspace(0, np.pi, nele)
+    azi = np.linspace(-np.pi, np.pi, nazi)
+    return pred, tmpl, ele, azi
+
+
+def test_idl_decode_matches_reference(ref_module, rng):
+    pred, tmpl, ele, azi = _rand_decode_inputs(rng)
+    ref = ref_module.SourceDetectLocalize(
+        max_num_sources=2, source_num_mode="unkNum", meth_mode="IDL")
+    r_doa, r_vad, r_ss = ref(torch.from_numpy(pred),
+                             torch.from_numpy(tmpl), [ele, azi])
+    res = idl_decode(jnp.asarray(pred), jnp.asarray(tmpl),
+                     jnp.asarray(ele), jnp.asarray(azi),
+                     max_num_sources=2, source_num_mode="unkNum")
+    np.testing.assert_allclose(np.asarray(res.spatial_spectrum),
+                               r_ss.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.doa), r_doa.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.vad), r_vad.numpy(),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_pd_decode_matches_reference(ref_module, rng):
+    """Reference quirk: the PD path's (ns,1)-shaped unravel indices make
+    `pred_DOA.transpose(1,0)` a (1,ns,2) tensor that broadcasts into the
+    (2,ns) slot *transposed* (Module.py:608-614) — i.e. reference PD
+    emits (src, angle) instead of (angle, src). We produce the intended
+    layout, so the oracle comparison transposes the reference output.
+    """
+    pred, tmpl, ele, azi = _rand_decode_inputs(rng, nb=1, nt=3, f=32,
+                                               nele=7, nazi=13)
+    ref = ref_module.SourceDetectLocalize(
+        max_num_sources=2, source_num_mode="unkNum", meth_mode="PD")
+    r_doa, r_vad, _ = ref(torch.from_numpy(pred),
+                          torch.from_numpy(tmpl), [ele, azi])
+    res = pd_decode(jnp.asarray(pred), jnp.asarray(tmpl),
+                    jnp.asarray(ele), jnp.asarray(azi),
+                    max_num_sources=2, source_num_mode="unkNum")
+    np.testing.assert_allclose(np.asarray(res.doa),
+                               r_doa.numpy().transpose(0, 1, 3, 2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.vad), r_vad.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_metric_single_matches_reference(ref_module, rng):
+    nb, nt, ns = 3, 8, 1
+    doa_gt = rng.uniform(0, 180, (nb, nt, 2, ns))
+    doa_est = doa_gt + rng.normal(0, 10, (nb, nt, 2, ns))
+    vad_gt = rng.uniform(0, 1, (nb, nt, ns))
+    vad_est = rng.uniform(0, 1, (nb, nt, ns))
+    ref = ref_module.getMetric(source_mode="single")
+    r = ref(torch.from_numpy(doa_gt), torch.from_numpy(vad_gt),
+            torch.from_numpy(doa_est), torch.from_numpy(vad_est),
+            ae_mode=["azi"], ae_TH=30, useVAD=True, vad_TH=[2 / 3, 2 / 3])
+    mine = get_metric_single(doa_gt, vad_gt, doa_est, vad_est,
+                             ae_mode=("azi",), ae_th=30, use_vad=True,
+                             vad_th=(2 / 3, 2 / 3))
+    assert mine["ACC"] == pytest.approx(float(torch.as_tensor(r["ACC"]).reshape(-1)[0]), abs=1e-6)
+    assert mine["MAE"] == pytest.approx(float(torch.as_tensor(r["MAE"]).reshape(-1)[0]), abs=1e-4)
+
+
+def test_metric_multiple_matches_reference(ref_module, rng):
+    nb, nt, ns = 2, 6, 2
+    doa_gt = rng.uniform(0, 180, (nb, nt, 2, ns))
+    doa_est = doa_gt[..., ::-1] + rng.normal(0, 8, (nb, nt, 2, ns))
+    vad_gt = rng.uniform(0, 1, (nb, nt, ns))
+    vad_est = rng.uniform(0, 1, (nb, nt, ns))
+    ref = ref_module.getMetric(source_mode="multiple")
+    r = ref(torch.from_numpy(doa_gt), torch.from_numpy(vad_gt),
+            torch.from_numpy(doa_est), torch.from_numpy(vad_est),
+            ae_mode=["azi"], ae_TH=30, useVAD=True, vad_TH=[2 / 3, 0.2])
+    mine = get_metric_multiple(doa_gt, vad_gt, doa_est, vad_est,
+                               ae_mode=("azi",), ae_th=30, use_vad=True,
+                               vad_th=(2 / 3, 0.2))
+    for k in ("ACC", "MDR", "FAR", "MAE", "RMSE"):
+        assert mine[k] == pytest.approx(float(r[k][0]), abs=1e-4), k
+
+
+def test_pred_doa_end_to_end_matches_reference(ref_module, rng):
+    """Full predgt2DOA path on a random FN-SSL-shaped output."""
+    nb, p, nt, f = 2, 1, 6, 512
+    pred = rng.standard_normal((nb * p, nt, f)).astype(np.float32)
+    gt = {"doa": rng.uniform(0, np.pi, (nb, nt, 2, 1)).astype(np.float32),
+          "vad_sources": np.ones((nb, nt, 1), np.float32)}
+
+    ref = ref_module.PredDOA(device="cpu")
+    r_pred, _ = ref.predgt2DOA(
+        pred_batch=torch.from_numpy(pred),
+        gt_batch={k: torch.from_numpy(v) for k, v in gt.items()})
+
+    mine = PredDOA()
+    m_pred, _ = mine.predgt2doa(pred, gt)
+    np.testing.assert_allclose(np.asarray(m_pred["doa"]),
+                               r_pred["doa"].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_pred["vad_sources"]),
+                               r_pred["vad_sources"].numpy(),
+                               rtol=1e-3, atol=1e-4)
+    # metrics agree end-to-end as well
+    r_metric = ref.evaluate(pred={k: v for k, v in r_pred.items()},
+                            gt={k: torch.from_numpy(v)
+                                for k, v in gt.items()})
+    m_metric = mine.evaluate(m_pred, gt)
+    assert m_metric["ACC"] == pytest.approx(float(torch.as_tensor(r_metric["ACC"]).reshape(-1)[0]),
+                                            abs=1e-5)
+    assert m_metric["MAE"] == pytest.approx(float(torch.as_tensor(r_metric["MAE"]).reshape(-1)[0]),
+                                            abs=1e-3)
+
+
+def test_spatial_spectrum_peak_at_true_doa():
+    """Physics sanity: decoding a clean template recovers its own DOA."""
+    pd = PredDOA()
+    tmpl = np.asarray(pd.template)        # (1, 37, 2nf, P)
+    true_idx = 20
+    ipd = tmpl[0, true_idx][None, None]   # (1, 1, 2nf, P)
+    ss = spatial_spectrum(jnp.asarray(ipd), pd.template)
+    assert int(jnp.argmax(ss[0, 0, 0])) == true_idx
