@@ -17,6 +17,18 @@ def cart2sph(cart: jax.Array, include_r: bool = False) -> jax.Array:
     return jnp.stack((theta, phi), axis=-1)
 
 
+def cart2sph_np(cart):
+    """Host-numpy variant in the reference Dataset convention
+    (FN-SSL/Dataset.py:44-50): columns (r, elevation-from-+z, azimuth)."""
+    import numpy as np
+
+    xy2 = cart[..., 0] ** 2 + cart[..., 1] ** 2
+    return np.stack([
+        np.sqrt(xy2 + cart[..., 2] ** 2),
+        np.arctan2(np.sqrt(xy2), cart[..., 2]),
+        np.arctan2(cart[..., 1], cart[..., 0])], axis=-1)
+
+
 def sph2cart(sph: jax.Array) -> jax.Array:
     if sph.shape[-1] == 2:
         sph = jnp.concatenate(

@@ -14,8 +14,14 @@ REFERENCE = Path("/root/reference")
 
 
 def load_reference_module(rel_path: str, name: str,
-                          extra_sys_path: str | None = None):
-    """Exec a reference file as a module, normalizing tab indentation."""
+                          extra_sys_path: str | None = None,
+                          stub_modules: tuple[str, ...] = ()):
+    """Exec a reference file as a module, normalizing tab indentation.
+
+    ``stub_modules`` names deps absent from this container (gpuRIR,
+    webrtcvad, soundfile): they are injected as empty placeholder modules
+    so import succeeds; tests must not touch code paths using them.
+    """
     src_path = REFERENCE / rel_path
     src = src_path.read_text()
     # FN-SSL/Model.py:61 mixes a literal tab into space-indented code.
@@ -25,12 +31,19 @@ def load_reference_module(rel_path: str, name: str,
     mod.__file__ = str(src_path)
     if extra_sys_path:
         sys.path.insert(0, extra_sys_path)
+    stubbed = []
+    for sname in stub_modules:
+        if sname not in sys.modules:
+            sys.modules[sname] = types.ModuleType(sname)
+            stubbed.append(sname)
     try:
         code = compile(src, str(src_path), "exec")
         exec(code, mod.__dict__)
     finally:
         if extra_sys_path:
             sys.path.remove(extra_sys_path)
+        for sname in stubbed:
+            del sys.modules[sname]
     return mod
 
 

@@ -1,0 +1,138 @@
+"""Data-pipeline tests: diffuse-noise coherence, segmenting parity,
+generate→read→train-batch contract."""
+import numpy as np
+import pytest
+import scipy.signal
+
+from fnssl_tpu.data import (
+    AcousticScene, FixTrajectoryDataset, Parameter, Segmenting,
+    SyntheticSpeechDataset, collate_segmented, dualch_array_setup,
+    gen_diffuse_noise, generate, load_file, make_fnssl_trajectory_dataset)
+from tests.reference_oracle import load_reference_module
+
+
+def test_parameter_sampling(rng):
+    p = Parameter(1.0)
+    assert p.get_value(rng) == 1.0
+    p = Parameter([0.0, 0.0], [1.0, 2.0])
+    v = p.get_value(rng)
+    assert v.shape == (2,) and 0 <= v[0] <= 1 and 0 <= v[1] <= 2
+    p = Parameter(["a", "b"], discrete=True)
+    assert p.get_value(rng) in ("a", "b")
+
+
+def test_diffuse_noise_spatial_coherence(rng):
+    """Generated diffuse noise must exhibit ~sinc coherence between mics."""
+    fs, T, c = 16000, 4.0, 343.0
+    mic_pos = np.array([[0.0, 0, 0], [0.2, 0, 0]])
+    mono = rng.standard_normal(int(2 * T * fs))
+    x = gen_diffuse_noise(mono, T, fs, mic_pos, c=c)
+    assert x.shape == (int(T * fs), 2)
+    f, cxy = scipy.signal.coherence(x[:, 0], x[:, 1], fs=fs, nperseg=256)
+    expected = np.sinc(2 * f * 0.2 / c) ** 2  # magnitude-squared coherence
+    sel = f < 4000
+    err = np.abs(cxy[sel] - expected[sel]).mean()
+    assert err < 0.1, err
+
+
+def test_segmenting_matches_reference(rng):
+    ref_ds = load_reference_module(
+        "FN-SSL/Dataset.py", "ref_dataset",
+        extra_sys_path="/root/reference/FN-SSL",
+        stub_modules=("soundfile", "webrtcvad", "gpuRIR"))
+    fs, L, ns = 16000, 4 * 16000, 2
+    doa = np.cumsum(rng.normal(0, 0.01, (L, 2, ns)), axis=0) + 1.0
+    vad_sources = (rng.random((L, ns)) > 0.5).astype(float)
+    x = rng.standard_normal((L, 2))
+
+    def make_scene():
+        sc = AcousticScene.empty()
+        sc.DOA = doa.copy()
+        sc.mic_vad_sources = vad_sources.copy()
+        sc.fs = fs
+        return sc
+
+    r_scene = make_scene()
+    _, r_scene = ref_ds.Segmenting_SRPDNN(K=3328, step=3072)(x, r_scene)
+    m_scene = make_scene()
+    _, m_scene = Segmenting(K=3328, step=3072)(x, m_scene)
+
+    np.testing.assert_allclose(m_scene.DOAw, r_scene.DOAw,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(m_scene.mic_vad_sources,
+                               r_scene.mic_vad_sources)
+    np.testing.assert_allclose(m_scene.tw, r_scene.tw)
+
+
+def test_segmenting_azimuth_wrap():
+    """Windows straddling the ±π azimuth jump average circularly."""
+    L, fs = 3328 * 2, 16000
+    sc = AcousticScene.empty()
+    azi = np.full(L, np.pi - 0.05)
+    azi[1::2] = -np.pi + 0.05  # oscillates across the wrap
+    sc.DOA = np.stack([np.full(L, np.pi / 2), azi], axis=1)[:, :, None]
+    sc.fs = fs
+    _, sc = Segmenting(K=3328, step=3072)(np.zeros((L, 2)), sc)
+    # circular mean of ±(π−0.05) is π (or −π), not 0
+    assert np.all(np.abs(np.abs(sc.DOAw[:, 1, 0]) - np.pi) < 0.06)
+
+
+def test_generate_read_train_contract(tmp_path):
+    """End-to-end data contract: generate tiny set → read → train batch."""
+    ds = make_fnssl_trajectory_dataset(T=1.0, nb_points=8, seed=7)
+    out = generate(str(tmp_path), num=2, dataset=ds)
+    fix = FixTrajectoryDataset(out, transforms=[Segmenting()])
+    assert len(fix) == 2
+    item = fix[0]
+    mic, gts = item
+    assert mic.shape == (16000, 2)
+    nseg = gts["doa"].shape[0]
+    assert gts["doa"].shape == (nseg, 2, 1)
+    assert gts["vad_sources"].shape == (nseg, 3328, 1)
+    batch = collate_segmented([fix[0], fix[1]])
+    assert batch["mic_sig"].shape == (2, 16000, 2)
+    assert batch["doa"].shape == (2, nseg, 2, 1)
+    assert batch["vad"].shape == (2, nseg, 1)
+    # determinism: same idx → identical signal
+    again = FixTrajectoryDataset(out, transforms=[Segmenting()])[0][0]
+    np.testing.assert_array_equal(mic, again)
+
+
+def test_scene_reproducible_per_seed():
+    ds = make_fnssl_trajectory_dataset(T=0.5, nb_points=4, seed=3)
+    a = ds.get_random_scene(5)
+    b = ds.get_random_scene(5)
+    np.testing.assert_array_equal(a.traj_pts, b.traj_pts)
+    np.testing.assert_array_equal(a.source_signal, b.source_signal)
+    c = ds.get_random_scene(6)
+    assert not np.array_equal(a.traj_pts, c.traj_pts)
+
+
+def test_simulated_doa_matches_gcc_delay():
+    """Physics: a static broadside vs endfire source produces the expected
+    inter-mic delay sign in the simulated signals."""
+    from fnssl_tpu.data import NoiseDataset
+    from fnssl_tpu.data.trajectory import RandomTrajectoryDataset
+
+    T, fs = 0.5, 16000
+    src_ds = SyntheticSpeechDataset(T, fs, 1)
+    noise = NoiseDataset(T, fs, 2,
+                         Parameter(["spatial_white"], discrete=True))
+    ds = RandomTrajectoryDataset(
+        sourceDataset=src_ds, num_source=Parameter(1),
+        source_state="static", room_sz=Parameter([6, 6, 3]),
+        T60=Parameter(0.2), abs_weights=Parameter([1.0] * 6),
+        array_setup=dualch_array_setup(),
+        array_pos=Parameter([0.5, 0.2, 0.5]),
+        noiseDataset=noise, SNR=Parameter(30), nb_points=4,
+        min_dis=Parameter(1.0), seed=11)
+    scene = ds.get_random_scene(0)
+    sig = scene.simulate()
+    # ground-truth azimuth vs GCC-PHAT delay between the two mics
+    azi = scene.DOA[0, 1, 0]
+    corr = scipy.signal.correlate(sig[:, 1], sig[:, 0], mode="full")
+    lag = np.argmax(corr) - (len(sig) - 1)
+    # mic1 is displaced +x: path difference d1-d0 = -baseline·cos(azi),
+    # so sig1 leads by baseline·cos(azi)/c → negative correlation lag
+    expected_tau = -0.08 * np.cos(azi) / 343.0 * fs
+    assert abs(lag - expected_tau) <= 1.5, (lag, expected_tau)
