@@ -5,3 +5,7 @@ from fnssl_tpu.models.layers import (
 from fnssl_tpu.models.fnssl import (
     FNSSLConfig, FNSSLState, init_fnssl_params, init_fnssl_state,
     fnssl_apply)
+from fnssl_tpu.models.ipdnet import (
+    IPDnetConfig, IPDnetState, init_ipdnet_params, init_ipdnet_state,
+    ipdnet_apply, VariableIPDnetConfig, init_variable_ipdnet_params,
+    variable_ipdnet_apply)

@@ -42,7 +42,10 @@ def stft_features(mic_sig: jax.Array, *, ch_mode: str = "MM",
     spec = stft(mic_sig, win_len=win_len, win_shift_ratio=win_shift_ratio,
                 nfft=nfft, center=center)          # (nb, nf, nt, nch)
     spec = jnp.transpose(spec, (0, 3, 1, 2))       # (nb, nch, nf, nt)
-    pairs = pair_rebatch(spec, ch_mode=ch_mode)    # (nb*P, 2, nf, nt)
+    if ch_mode == "none":
+        pairs = spec  # IPDnet keeps all channels (runIPDnetOn.py:245-253)
+    else:
+        pairs = pair_rebatch(spec, ch_mode=ch_mode)  # (nb*P, 2, nf, nt)
     if norm == "online":
         mean = forgetting_norm(jnp.abs(pairs), sample_length=sample_length)
         denom = mean + eps
@@ -85,7 +88,7 @@ def make_fnssl_preprocess(dpipd, *, ch_mode: str = "MM",
     return preprocess
 
 
-def make_ipdnet_preprocess(dpipd, nonsource, *, ch_mode: str = "M",
+def make_ipdnet_preprocess(dpipd, nonsource, *, ch_mode: str = "none",
                            win_len: int = 512, win_shift_ratio: float = 0.5,
                            nfft: int = 512, sample_length: int = 280,
                            vad_threshold: float = 0.001):

@@ -54,6 +54,54 @@ def make_fnssl_task(cfg: FNSSLConfig = FNSSLConfig(),
     return FNSSLTask(loss_fn, preprocess, cfg, dpipd)
 
 
+class IPDnetTask(NamedTuple):
+    loss_fn: object
+    preprocess: object
+    cfg: object
+    dpipd: DPIPD
+
+
+def make_ipdnet_task(cfg=None, mic_location: np.ndarray | None = None,
+                     nfft: int = 512, fs: int = 16000,
+                     speed: float = 340.0, max_track: int = 2,
+                     vad_threshold: float = 0.001) -> IPDnetTask:
+    """IPDnet multi-track DP-IPD task with frame-level PIT loss
+    (runIPDnetOn.py:80-301).
+
+    Batch contract: dict with
+      'mic_sig' (nb, nsample, nch),
+      'doa' (nb, nt2, 2, ns) radians,
+      'vad' (nb, nt2, ns) soft dp-VAD at the output frame rate.
+    """
+    from fnssl_tpu.models.ipdnet import IPDnetConfig, ipdnet_apply
+    from fnssl_tpu.physics.targets import bessel_nonsource_target
+    from fnssl_tpu.train.losses import pit_mse_loss
+    from fnssl_tpu.train.preprocess import make_ipdnet_preprocess
+
+    if mic_location is None:
+        mic_location = DUALCH_MIC_LOCATION
+    if cfg is None:
+        cfg = IPDnetConfig(input_size=2 * mic_location.shape[0],
+                           max_track=max_track)
+    dpipd = DPIPD(ndoa_candidate=[37, 73], mic_location=mic_location,
+                  nf=nfft // 2 + 1, fre_max=fs / 2, ch_mode="M",
+                  speed=speed)
+    nonsource = bessel_nonsource_target(
+        mic_location, fre_used=slice(1, nfft // 2 + 1), nf=nfft // 2 + 1,
+        fre_max=fs / 2, speed=speed)
+    preprocess = make_ipdnet_preprocess(
+        dpipd, nonsource, ch_mode="none", nfft=nfft,
+        vad_threshold=vad_threshold)
+
+    def loss_fn(params, batch, rng):
+        feats, gt = preprocess(batch["mic_sig"], batch["doa"], batch["vad"])
+        pred = ipdnet_apply(params, feats, cfg=cfg, rng=rng,
+                            training=rng is not None)
+        return pit_mse_loss(pred, gt["ipd"])
+
+    return IPDnetTask(loss_fn, preprocess, cfg, dpipd)
+
+
 def synthetic_fnssl_batch(nb: int = 2, t_s: float = 4.79, fs: int = 16000,
                           nch: int = 2, ns: int = 1, seed: int = 0,
                           win_len: int = 512, win_shift_ratio: float = 0.5,
