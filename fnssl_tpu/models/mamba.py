@@ -1,0 +1,152 @@
+"""Mamba (S6 selective state space) block — TPU-native replacement for the
+CUDA ``mamba_ssm`` package used by IPDnet2 (IPDnet2/IPDnet2.py:16-19).
+
+Two numerically-equivalent execution modes (the retention.py:303-326
+self-test pattern):
+  * ``mamba_apply``: full-sequence via ``jax.lax.associative_scan`` over
+    the diagonal SSM recurrence h_t = Ā_t·h_{t-1} + ΔB_t·x_t — O(log T)
+    depth, MXU-friendly batched projections.
+  * ``mamba_step``: single-frame streaming with explicit (conv ring
+    buffer, SSM state) carry — the InferenceParams loop of the reference
+    (IPDnet2.py:170-177) without the python-per-frame overhead.
+
+Parameter names follow mamba_ssm's state_dict (in_proj/conv1d/x_proj/
+dt_proj/A_log/D/out_proj) so trained IPDnet2 checkpoints convert
+losslessly. Defaults match mamba_ssm.Mamba: expand=2,
+dt_rank=ceil(d_model/16), dt init per the S4D rules.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MambaConfig(NamedTuple):
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+
+    @property
+    def d_inner(self) -> int:
+        return self.expand * self.d_model
+
+    @property
+    def dt_rank(self) -> int:
+        return math.ceil(self.d_model / 16)
+
+
+class MambaState(NamedTuple):
+    conv: jax.Array  # (B, d_inner, d_conv-1) last inputs to the conv
+    ssm: jax.Array   # (B, d_inner, d_state)
+
+
+def init_mamba_params(key: jax.Array, cfg: MambaConfig,
+                      dt_min: float = 1e-3, dt_max: float = 0.1,
+                      dt_init_floor: float = 1e-4) -> dict:
+    di, dm, dr, n = cfg.d_inner, cfg.d_model, cfg.dt_rank, cfg.d_state
+    ks = jax.random.split(key, 6)
+
+    def kaiming(k, shape, fan_in):
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(k, shape, jnp.float32, -bound, bound)
+
+    # dt_proj: weight init std = dt_rank**-0.5 (constant init rule),
+    # bias = inverse-softplus of log-uniform dt
+    dt = jnp.exp(jax.random.uniform(ks[0], (di,)) *
+                 (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+    dt = jnp.maximum(dt, dt_init_floor)
+    dt_bias = dt + jnp.log(-jnp.expm1(-dt))  # inv softplus
+
+    a = jnp.tile(jnp.arange(1, n + 1, dtype=jnp.float32)[None, :], (di, 1))
+    return {
+        "in_proj": {"weight": kaiming(ks[1], (2 * di, dm), dm)},
+        "conv1d": {"weight": kaiming(ks[2], (di, 1, cfg.d_conv),
+                                     cfg.d_conv),
+                   "bias": kaiming(ks[3], (di,), cfg.d_conv)},
+        "x_proj": {"weight": kaiming(ks[4], (dr + 2 * n, di), di)},
+        "dt_proj": {"weight": jax.random.uniform(
+            jax.random.fold_in(key, 7), (di, dr), jnp.float32,
+            -dr ** -0.5, dr ** -0.5), "bias": dt_bias},
+        "A_log": jnp.log(a),
+        "D": jnp.ones((di,), jnp.float32),
+        "out_proj": {"weight": kaiming(ks[5], (dm, di), di)},
+    }
+
+
+def _ssm_inputs(params, x, cfg: MambaConfig):
+    """Shared projections: x (B, L, d_inner) silu'd conv output →
+    (deltaA (B,L,d,n), deltaBx (B,L,d,n), C (B,L,n))."""
+    dr, n = cfg.dt_rank, cfg.d_state
+    x_dbl = x @ params["x_proj"]["weight"].T
+    delta, b, c = jnp.split(x_dbl, [dr, dr + n], axis=-1)
+    delta = jax.nn.softplus(delta @ params["dt_proj"]["weight"].T
+                            + params["dt_proj"]["bias"])
+    a = -jnp.exp(params["A_log"])                       # (d, n)
+    delta_a = jnp.exp(delta[..., None] * a)             # (B,L,d,n)
+    delta_bx = (delta * x)[..., None] * b[..., None, :]
+    return delta_a, delta_bx, c
+
+
+def _conv_silu(params, x, cfg: MambaConfig, tail: jax.Array | None):
+    """Depthwise causal conv + SiLU. x: (B, L, d_inner)."""
+    w = params["conv1d"]["weight"][:, 0, :]             # (d, k)
+    k = cfg.d_conv
+    xt = jnp.swapaxes(x, 1, 2)                          # (B, d, L)
+    pad = (jnp.zeros(xt.shape[:2] + (k - 1,), xt.dtype)
+           if tail is None else tail)
+    xin = jnp.concatenate([pad, xt], axis=-1)
+    new_tail = xin[..., -(k - 1):]
+    out = sum(xin[..., i: i + x.shape[1]] * w[None, :, i: i + 1]
+              for i in range(k))
+    out = out + params["conv1d"]["bias"][None, :, None]
+    return jax.nn.silu(jnp.swapaxes(out, 1, 2)), new_tail
+
+
+def mamba_apply(params, u: jax.Array, cfg: MambaConfig) -> jax.Array:
+    """Full-sequence forward. u: (B, L, d_model) → (B, L, d_model)."""
+    xz = u @ params["in_proj"]["weight"].T
+    x, z = jnp.split(xz, 2, axis=-1)
+    x, _ = _conv_silu(params, x, cfg, None)
+    delta_a, delta_bx, c = _ssm_inputs(params, x, cfg)
+
+    def combine(e1, e2):
+        a1, b1 = e1
+        a2, b2 = e2
+        return a2 * a1, a2 * b1 + b2
+
+    _, h = jax.lax.associative_scan(combine, (delta_a, delta_bx), axis=1)
+    y = jnp.einsum("bldn,bln->bld", h, c) + params["D"] * x
+    y = y * jax.nn.silu(z)
+    return y @ params["out_proj"]["weight"].T
+
+
+def init_mamba_state(batch: int, cfg: MambaConfig) -> MambaState:
+    return MambaState(
+        jnp.zeros((batch, cfg.d_inner, cfg.d_conv - 1), jnp.float32),
+        jnp.zeros((batch, cfg.d_inner, cfg.d_state), jnp.float32))
+
+
+def mamba_step(params, u: jax.Array, cfg: MambaConfig,
+               state: MambaState) -> tuple[jax.Array, MambaState]:
+    """Streaming chunk forward with carry. u: (B, L, d_model)."""
+    xz = u @ params["in_proj"]["weight"].T
+    x, z = jnp.split(xz, 2, axis=-1)
+    x, conv_tail = _conv_silu(params, x, cfg, state.conv)
+    delta_a, delta_bx, c = _ssm_inputs(params, x, cfg)
+
+    def step(h, inputs):
+        da, dbx = inputs
+        h = da * h + dbx
+        return h, h
+
+    da_t = jnp.swapaxes(delta_a, 0, 1)    # (L, B, d, n)
+    dbx_t = jnp.swapaxes(delta_bx, 0, 1)
+    h_last, hs = jax.lax.scan(step, state.ssm, (da_t, dbx_t))
+    h = jnp.swapaxes(hs, 0, 1)            # (B, L, d, n)
+    y = jnp.einsum("bldn,bln->bld", h, c) + params["D"] * x
+    y = y * jax.nn.silu(z)
+    return y @ params["out_proj"]["weight"].T, MambaState(conv_tail, h_last)

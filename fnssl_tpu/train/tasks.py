@@ -102,6 +102,78 @@ def make_ipdnet_task(cfg=None, mic_location: np.ndarray | None = None,
     return IPDnetTask(loss_fn, preprocess, cfg, dpipd)
 
 
+def make_ipdnet2_task(cfg=None, mic_location: np.ndarray | None = None,
+                      nfft: int = 512, fs: int = 16000,
+                      speed: float = 340.0):
+    """IPDnet2/OnlineSpatialNet near-field task (run_IPDnet2.py:82-339):
+    STFT center=True hop 0.625, forgetting-norm L=249, per-batch array
+    topology near-field DP-IPD targets (DPIPD2), Bessel non-source fill,
+    frame-level PIT-MSE. Unlike the reference — which rebuilds the numpy
+    DPIPD2 template every training step (run_IPDnet2.py:271-276) — the
+    target function is jit-compiled once and takes the topology as data.
+
+    Batch contract: dict with
+      'mic_sig' (nb, nsample, nch),
+      'azi_deg' (nb, nt2, ns) azimuth targets in degrees (10 Hz stream),
+      'distance' (nb, nt2, ns) meters,
+      'vad' (nb, nt2, ns),
+      'mic_pos' (nb, nmic, 3) per-batch topology.
+    """
+    from fnssl_tpu.models.spatialnet import (
+        SpatialNetConfig, spatialnet_apply)
+    from fnssl_tpu.physics.dpipd import DPIPD2
+    from fnssl_tpu.physics.targets import (
+        bessel_nonsource_target, vad_gate_with_nonsource)
+    from fnssl_tpu.train.losses import pit_mse_loss
+    from fnssl_tpu.train.preprocess import stft_features
+
+    import jax
+    import jax.numpy as jnp
+
+    if mic_location is None:
+        # 5-mic subset of the Westlake 32-mic array (RealMAN training)
+        from fnssl_tpu.data.arrays import audiowu_high_array_geometry
+        mic_location = audiowu_high_array_geometry()[[0, 1, 3, 5, 7]]
+    nmic = mic_location.shape[0]
+    if cfg is None:
+        cfg = SpatialNetConfig(dim_input=2 * nmic,
+                               dim_output=4 * (nmic - 1))
+    dpipd2 = DPIPD2(ndoa_candidate=[1, 180], mic_location=mic_location,
+                    nf=nfft // 2 + 1, fre_max=fs / 2, ch_mode="M",
+                    speed=speed)
+    nonsource = bessel_nonsource_target(
+        mic_location, fre_used=slice(1, nfft // 2 + 1), nf=nfft // 2 + 1,
+        fre_max=fs / 2, speed=speed)
+    nonsource_j = jnp.asarray(nonsource)
+    fre_used = slice(1, nfft // 2 + 1)
+
+    @jax.jit
+    def preprocess(mic_sig, azi_deg, distance, vad, mic_pos):
+        feats = stft_features(mic_sig, ch_mode="none", win_len=nfft,
+                              win_shift_ratio=0.625, nfft=nfft,
+                              center=True, sample_length=249)
+        ele = jnp.full_like(azi_deg, 90.0)
+        doa = jnp.stack([ele, azi_deg], axis=2) * (jnp.pi / 180.0)
+        ipd = dpipd2.targets(doa, distance, mic_pos)
+        ipd = jnp.concatenate(
+            [jnp.real(ipd[:, :, fre_used]), jnp.imag(ipd[:, :, fre_used])],
+            axis=2).astype(jnp.float32)
+        gt_ipd = vad_gate_with_nonsource(ipd, vad, nonsource_j,
+                                         threshold=0.0)
+        return feats, {"ipd": gt_ipd}
+
+    def loss_fn(params, batch, rng):
+        feats, gt = preprocess(batch["mic_sig"], batch["azi_deg"],
+                               batch["distance"], batch["vad"],
+                               batch["mic_pos"])
+        pred = spatialnet_apply(params, feats, cfg=cfg)
+        # reconcile pred/gt frame counts (run_IPDnet2.py:183-189)
+        nt = min(pred.shape[1], gt["ipd"].shape[1])
+        return pit_mse_loss(pred[:, :nt], gt["ipd"][:, :nt])
+
+    return IPDnetTask(loss_fn, preprocess, cfg, dpipd2)
+
+
 def synthetic_fnssl_batch(nb: int = 2, t_s: float = 4.79, fs: int = 16000,
                           nch: int = 2, ns: int = 1, seed: int = 0,
                           win_len: int = 512, win_shift_ratio: float = 0.5,
