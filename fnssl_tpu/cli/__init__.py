@@ -1,0 +1,1 @@
+from fnssl_tpu.cli.main import main

@@ -1,0 +1,257 @@
+"""Command-line entry points: simulate / fit / test / predict.
+
+Mirrors the reference's two harnesses (SURVEY.md §2.7): the raw-torch
+scripts (Train.py / Predict.py / Simu.py with the ``opt`` argparse class,
+FN-SSL/Opt.py:9-80) and the LightningCLI fit/test subcommands
+(Lightning/main.py:282-371). One typed argparse tree + optional YAML
+config file; every run snapshots its resolved config (the
+MySaveConfigCallback behavior) and git/pip provenance.
+
+Usage:
+  python -m fnssl_tpu.cli simulate --out data/train --num 64
+  python -m fnssl_tpu.cli fit --model fnssl --train-dir data/train \
+      --valid-dir data/dev --epochs 3 --bz 4 --log-dir runs/fnssl
+  python -m fnssl_tpu.cli test --model fnssl --data-dir data/test \
+      --log-dir runs/fnssl
+  python -m fnssl_tpu.cli predict --model fnssl --wav x.wav \
+      --log-dir runs/fnssl --out results/
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--model", default="fnssl",
+                   choices=["fnssl", "fnssl_doa", "ipdnet",
+                            "variable_ipdnet", "ipdnet2"])
+    p.add_argument("--log-dir", default="runs/default")
+    p.add_argument("--config", default=None,
+                   help="YAML file of argument defaults")
+    p.add_argument("--seed", type=int, default=2)
+    p.add_argument("--bz", type=int, default=4)
+    p.add_argument("--use-mesh", action="store_true",
+                   help="shard batches over all local devices (DP)")
+
+
+def build_parser():
+    ap = argparse.ArgumentParser("fnssl_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("simulate", help="generate wav+npz dataset")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num", type=int, default=16)
+    p.add_argument("--T", type=float, default=4.79)
+    p.add_argument("--num-source", type=int, default=1)
+    p.add_argument("--nb-points", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--librispeech", default=None,
+                   help="LibriSpeech root (synthetic sources if omitted)")
+
+    p = sub.add_parser("fit", help="train a model")
+    _add_common(p)
+    p.add_argument("--train-dir", required=True)
+    p.add_argument("--valid-dir", required=True)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--resume", action="store_true")
+
+    p = sub.add_parser("test", help="evaluate a checkpoint")
+    _add_common(p)
+    p.add_argument("--data-dir", required=True)
+
+    p = sub.add_parser("predict", help="DOA prediction for a wav file")
+    _add_common(p)
+    p.add_argument("--wav", required=True)
+    p.add_argument("--out", default="results/")
+    return ap
+
+
+def _apply_yaml_defaults(ap, args):
+    if getattr(args, "config", None):
+        import yaml
+        with open(args.config) as f:
+            for k, v in (yaml.safe_load(f) or {}).items():
+                if getattr(args, k, None) in (None, ap.get_default(k)):
+                    setattr(args, k, v)
+    return args
+
+
+def _make_task(name: str):
+    from fnssl_tpu.models.fnssl import FNSSLConfig
+    from fnssl_tpu.train import tasks
+
+    if name == "fnssl":
+        return tasks.make_fnssl_task(FNSSLConfig())
+    if name == "fnssl_doa":
+        return tasks.make_fnssl_task(FNSSLConfig(is_doa=True))
+    if name == "ipdnet":
+        return tasks.make_ipdnet_task()
+    if name == "ipdnet2":
+        return tasks.make_ipdnet2_task()
+    raise SystemExit(f"model {name!r} has no CLI task wiring yet")
+
+
+def _init_params(name: str, task, seed: int):
+    import jax
+
+    key = jax.random.PRNGKey(seed)
+    if name.startswith("fnssl"):
+        from fnssl_tpu.models.fnssl import init_fnssl_params
+        return init_fnssl_params(key, task.cfg)
+    if name == "ipdnet":
+        from fnssl_tpu.models.ipdnet import init_ipdnet_params
+        return init_ipdnet_params(key, task.cfg)
+    if name == "ipdnet2":
+        from fnssl_tpu.models.spatialnet import init_spatialnet_params
+        return init_spatialnet_params(key, task.cfg)
+    raise SystemExit(name)
+
+
+def _batches(data_dir: str, bz: int, epoch: int, seed: int,
+             shuffle: bool):
+    """Deterministic per-epoch sharded batches from a wav+npz dir."""
+    from fnssl_tpu.data import FixTrajectoryDataset, Segmenting, \
+        collate_segmented
+    from fnssl_tpu.parallel import host_local_slice
+
+    ds = FixTrajectoryDataset(data_dir, transforms=[Segmenting()])
+    sched = host_local_slice(len(ds), epoch, seed=seed, shuffle=shuffle)
+    for i in range(0, len(sched) - bz + 1, bz):
+        yield collate_segmented([ds[idx] for idx, _ in sched[i:i + bz]])
+
+
+def cmd_simulate(args):
+    from fnssl_tpu.data import (
+        LibriSpeechDataset, generate, make_fnssl_trajectory_dataset)
+
+    src = None
+    if args.librispeech:
+        src = LibriSpeechDataset(args.librispeech, args.T, 16000,
+                                 args.num_source, return_vad=True)
+    ds = make_fnssl_trajectory_dataset(
+        src, T=args.T, num_source=args.num_source,
+        nb_points=args.nb_points, seed=args.seed)
+    generate(args.out, args.num, dataset=ds,
+             log_every=max(args.num // 10, 1))
+    print(f"wrote {args.num} scenes to {args.out}")
+
+
+def _snapshot_config(args):
+    os.makedirs(args.log_dir, exist_ok=True)
+    with open(os.path.join(args.log_dir, "config.json"), "w") as f:
+        json.dump({k: v for k, v in vars(args).items()
+                   if not callable(v)}, f, indent=2, default=str)
+    from fnssl_tpu.utils.logging import tag_and_log_git_status
+    tag_and_log_git_status(os.path.join(args.log_dir, "git.out"),
+                           note=f"{args.cmd} {args.model}")
+
+
+def cmd_fit(args):
+    from fnssl_tpu.train.learner import Learner
+    from fnssl_tpu.utils.logging import set_seed
+
+    set_seed(args.seed)
+    _snapshot_config(args)
+    task = _make_task(args.model)
+    params = _init_params(args.model, task, args.seed)
+    defaults = {"fnssl": (1e-3, 0.8988), "fnssl_doa": (1e-3, 0.8988),
+                "ipdnet": (5e-4, 0.975), "ipdnet2": (5e-4, 0.975)}
+    lr, gamma = defaults[args.model]
+    learner = Learner(
+        task.loss_fn, params, optimizer="adamw"
+        if args.model == "ipdnet2" else "adam",
+        lr=args.lr or lr, lr_gamma=gamma,
+        grad_clip=5.0 if args.model == "ipdnet2" else None,
+        log_dir=args.log_dir, use_mesh=args.use_mesh, seed=args.seed)
+    if args.resume:
+        learner.resume()
+    history = learner.fit(
+        lambda e: _batches(args.train_dir, args.bz, e, args.seed, True),
+        lambda e: _batches(args.valid_dir, args.bz, 0, args.seed, False),
+        epochs=args.epochs)
+    learner.close()
+    print(json.dumps({"final_train": history["train"][-1],
+                      "final_valid": history["valid"][-1],
+                      "best_epoch": int(np.argmin(history["valid"]))}))
+
+
+def cmd_test(args):
+    from fnssl_tpu.eval import PredDOA
+    from fnssl_tpu.train.learner import Learner
+
+    _snapshot_config(args)
+    task = _make_task(args.model)
+    params = _init_params(args.model, task, args.seed)
+
+    metric_fn = None
+    if args.model.startswith("fnssl"):
+        from fnssl_tpu.models.fnssl import fnssl_apply
+        pred_doa = PredDOA()
+
+        def metric_fn(p, batch):
+            feats, gt = task.preprocess(batch["mic_sig"], batch["doa"],
+                                        batch["vad"])
+            pred = fnssl_apply(p, feats, cfg=task.cfg)
+            gtd = {"doa": batch["doa"], "vad_sources": batch["vad"]}
+            return pred_doa(pred, gtd)
+
+    learner = Learner(task.loss_fn, params, log_dir=args.log_dir,
+                      metric_fn=metric_fn, seed=args.seed)
+    epoch = learner.resume()
+    if epoch == 0:
+        print("warning: no checkpoint found; testing fresh params")
+    metrics = learner.test(
+        _batches(args.data_dir, args.bz, 0, args.seed, False))
+    learner.close()
+    print(json.dumps(metrics))
+
+
+def cmd_predict(args):
+    import jax.numpy as jnp
+
+    from fnssl_tpu.eval import PredDOA
+    from fnssl_tpu.models.fnssl import fnssl_apply
+    from fnssl_tpu.train.learner import Learner
+    from fnssl_tpu.utils.audio_io import read_audio
+
+    task = _make_task(args.model)
+    params = _init_params(args.model, task, args.seed)
+    learner = Learner(task.loss_fn, params, log_dir=args.log_dir,
+                      seed=args.seed)
+    learner.resume()
+    params = learner.state.params
+
+    sig, fs = read_audio(args.wav)
+    if sig.ndim == 1:
+        raise SystemExit("predict needs a multichannel wav")
+    from fnssl_tpu.train.preprocess import stft_features
+    feats = stft_features(jnp.asarray(sig[None].astype(np.float32)),
+                          ch_mode="MM")
+    pred = fnssl_apply(params, feats, cfg=task.cfg)
+    decoder = PredDOA()
+    result, _ = decoder.predgt2doa(pred)
+    os.makedirs(args.out, exist_ok=True)
+    doa = np.degrees(np.asarray(result["doa"]))
+    np.save(os.path.join(args.out, "doa_est.npy"), doa)
+    np.save(os.path.join(args.out, "vad_est.npy"),
+            np.asarray(result["vad_sources"]))
+    print(json.dumps({"frames": int(doa.shape[1]),
+                      "azimuth_deg_first5": doa[0, :5, 1, 0].tolist(),
+                      "out": args.out}))
+    learner.close()
+
+
+def main(argv=None):
+    ap = build_parser()
+    args = _apply_yaml_defaults(ap, ap.parse_args(argv))
+    {"simulate": cmd_simulate, "fit": cmd_fit, "test": cmd_test,
+     "predict": cmd_predict}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,12 @@ def acoustic_power(s: np.ndarray) -> float:
         s, strides=s.strides * 2, shape=sh)[::o]
     power = np.mean(windows ** 2, axis=-1)
     th = 0.01 * power.max()
-    return float(np.mean(power[power > th]))
+    active = power[power > th]
+    # all-silent guard (absent in the reference, which NaNs here when a
+    # source is fully gated off): fall back to the overall mean power
+    if active.size == 0:
+        return float(max(power.mean(), 1e-10))
+    return float(np.mean(active))
 
 
 class AcousticScene:

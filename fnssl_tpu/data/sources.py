@@ -118,6 +118,8 @@ class SyntheticSpeechDataset:
             gate_len = int(0.3 * self.fs)
             ngate = n // gate_len + 1
             gates = (rng.random(ngate) > 0.3).astype(float)
+            if gates.sum() == 0:  # guarantee some speech activity
+                gates[int(rng.integers(0, ngate))] = 1.0
             gate = np.repeat(gates, gate_len)[:n]
             sig = carrier * env * gate
             sigs.append(sig - sig.mean())

@@ -60,7 +60,8 @@ def get_metric_single(doa_gt, vad_gt, doa_est, vad_est,
     aziele_err = angular_error(doa_est.transpose(2, 0, 1, 3),
                                doa_gt.transpose(2, 0, 1, 3), "aziele")
     corr = (azi_err < ae_th).astype(np.float64) * vad_est
-    act = vad_gt.sum()
+    # eps guard for zero active frames (the reference NaNs here)
+    act = max(vad_gt.sum(), _EPS)
     metric = {"ACC": float(corr.sum() / act)}
     errs = {"ele": ele_err, "azi": azi_err, "aziele": aziele_err}
     mae = [float((vad_gt * errs[m]).sum() / act) for m in ae_mode]

@@ -1,0 +1,143 @@
+"""Trainer: epoch loops, checkpointing, early stopping, DP scale-out.
+
+The L4 driver combining the reference's two training paths (raw-torch
+Learner.py:14-355 epoch loops + Lightning fit/validate/test semantics,
+SURVEY.md §2.5): one jitted step (preprocess+forward+loss fused), orbax
+checkpoints with top-k-by-valid-loss + resume, early stopping, EMA loss
+display, TensorBoard/JSONL metrics, and optional data-parallel sharding
+over a device mesh.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Iterable
+
+import jax
+import numpy as np
+
+from fnssl_tpu.parallel import make_mesh, replicate_params, shard_batch
+from fnssl_tpu.train.checkpoint import CheckpointManager
+from fnssl_tpu.train.step import (
+    TrainState, init_train_state, make_eval_step, make_optimizer,
+    make_train_step)
+from fnssl_tpu.utils.logging import EmaLoss, MetricLogger, detect_infnan
+
+
+class EarlyStopping:
+    """Stop after ``patience`` epochs without ``min_delta`` improvement
+    (Lightning/main.py:290-296)."""
+
+    def __init__(self, patience: int = 10, min_delta: float = 0.01):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = np.inf
+        self.bad_epochs = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True when training should stop."""
+        if value < self.best - self.min_delta:
+            self.best = value
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+        return self.bad_epochs >= self.patience
+
+
+class Learner:
+    def __init__(self, loss_fn: Callable, params, *,
+                 optimizer: str = "adam", lr: float = 1e-3,
+                 lr_gamma: float = 0.8988, grad_clip: float | None = None,
+                 steps_per_epoch: int = 1, log_dir: str = "runs/default",
+                 keep_top_k: int = 5, use_mesh: bool = False,
+                 metric_fn: Callable | None = None,
+                 early_stopping: EarlyStopping | None = None,
+                 seed: int = 2):
+        self.tx = make_optimizer(optimizer, lr, lr_gamma, steps_per_epoch,
+                                 grad_clip)
+        self.state = init_train_state(params, self.tx)
+        self.train_step = make_train_step(loss_fn, self.tx)
+        self.eval_step = make_eval_step(loss_fn)
+        self.logger = MetricLogger(log_dir)
+        self.ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"),
+                                      keep_top_k=keep_top_k)
+        self.metric_fn = metric_fn
+        self.early_stopping = early_stopping or EarlyStopping()
+        self.epoch = 0
+        self.rng = jax.random.PRNGKey(seed)
+        self.mesh = make_mesh() if use_mesh else None
+        if self.mesh is not None:
+            self.state = replicate_params(self.state, self.mesh)
+
+    def _place(self, batch):
+        return shard_batch(batch, self.mesh) if self.mesh else batch
+
+    def resume(self):
+        """Restore the latest checkpoint if one exists."""
+        restored, step = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state = TrainState(*restored) if isinstance(
+                restored, (list, tuple)) else restored
+            self.epoch = int(step) + 1
+            print(f"resumed from epoch {step}")
+        return self.epoch
+
+    def train_epoch(self, batches: Iterable) -> float:
+        ema = EmaLoss()
+        last = 0.0
+        t0 = time.time()
+        for i, batch in enumerate(batches):
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, loss = self.train_step(
+                self.state, self._place(batch), sub)
+            last = ema.update(float(loss))
+        self.logger.log("train/loss", last, self.epoch)
+        self.logger.log("train/epoch_s", time.time() - t0, self.epoch)
+        return last
+
+    def eval_epoch(self, batches: Iterable, split: str = "valid"
+                   ) -> dict[str, float]:
+        losses, metrics_acc = [], []
+        for batch in batches:
+            loss = float(self.eval_step(self.state.params,
+                                        self._place(batch)))
+            if detect_infnan(loss, f"{split}/loss"):
+                continue
+            losses.append(loss)
+            if self.metric_fn is not None:
+                metrics_acc.append(self.metric_fn(self.state.params, batch))
+        out = {"loss": float(np.mean(losses))}
+        if metrics_acc:
+            for k in metrics_acc[0]:
+                out[k] = float(np.mean([m[k] for m in metrics_acc]))
+        self.logger.log_dict(out, self.epoch, prefix=f"{split}/")
+        return out
+
+    def fit(self, train_batches_fn: Callable[[int], Iterable],
+            valid_batches_fn: Callable[[int], Iterable],
+            epochs: int = 100) -> dict:
+        """Full training: per-epoch train + validate + checkpoint + early
+        stop. ``*_batches_fn(epoch)`` returns that epoch's batch iterable
+        (deterministic per-epoch shuffling hooks in here)."""
+        history = {"train": [], "valid": []}
+        while self.epoch < epochs:
+            train_loss = self.train_epoch(train_batches_fn(self.epoch))
+            valid = self.eval_epoch(valid_batches_fn(self.epoch))
+            history["train"].append(train_loss)
+            history["valid"].append(valid["loss"])
+            self.ckpt.save(self.epoch, self.state, valid["loss"])
+            stop = self.early_stopping.update(valid["loss"])
+            print(f"epoch {self.epoch}: train {train_loss:.5f} "
+                  f"valid {valid['loss']:.5f}"
+                  + (" [early stop]" if stop else ""))
+            self.epoch += 1
+            if stop:
+                break
+        return history
+
+    def test(self, batches: Iterable) -> dict[str, float]:
+        return self.eval_epoch(batches, split="test")
+
+    def close(self):
+        self.logger.close()
+        self.ckpt.close()
