@@ -1,0 +1,204 @@
+"""Fused Pallas LSTM recurrence — the framework's hottest kernel.
+
+The FN blocks run thousands of independent short sequences through small
+LSTMs (SURVEY.md §7.3); XLA's ``lax.scan`` pays per-step while-loop and
+buffer-management overhead on every one of the T≈298 iterations. This
+kernel keeps (h, c) and the recurrent weights resident in VMEM for the
+whole sequence and double-buffers the precomputed input gates from HBM,
+so each step is just one MXU matmul + VPU gate math.
+
+Split of work: the input projection x@W_ih.T + b is a single large matmul
+left to XLA (it tiles perfectly); the kernel consumes the resulting
+``xg (T, B, 4H)`` and runs only the recurrence. Gate order i, f, g, o
+(torch). The backward pass recomputes via the lax.scan reference path
+(jax.custom_vjp), so training keeps exact gradients while inference and
+the forward half of training take the fused path.
+
+Grid: programs over B tiles; each program owns its (TB, H) state for all
+T steps (sequential dependency stays on-chip).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS = True
+except ImportError:  # pragma: no cover
+    _PALLAS = False
+
+
+def pallas_available() -> bool:
+    return _PALLAS and jax.default_backend() == "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _lstm_kernel(xg_hbm, whh_ref, h0_ref, c0_ref, out_hbm, hT_ref, cT_ref,
+                 h_scr, c_scr, xg_buf, out_buf, in_sems, out_sems,
+                 *, t_steps: int, reverse: bool):
+    h_scr[:] = h0_ref[:]
+    c_scr[:] = c0_ref[:]
+    tb = h_scr.shape[0]
+    prog = pl.program_id(0)
+
+    def t_index(t):
+        return (t_steps - 1 - t) if reverse else t
+
+    def in_dma(slot, t):
+        return pltpu.make_async_copy(
+            xg_hbm.at[t_index(t), pl.ds(prog * tb, tb), :],
+            xg_buf.at[slot], in_sems.at[slot])
+
+    def out_dma(slot, t):
+        return pltpu.make_async_copy(
+            out_buf.at[slot],
+            out_hbm.at[t_index(t), pl.ds(prog * tb, tb), :],
+            out_sems.at[slot])
+
+    in_dma(0, 0).start()
+
+    def body(t, _):
+        slot = t % 2
+        nxt = (t + 1) % 2
+
+        @pl.when(t + 1 < t_steps)
+        def _():
+            in_dma(nxt, t + 1).start()
+
+        in_dma(slot, t).wait()
+        gates = (xg_buf[slot].astype(jnp.float32)
+                 + jnp.dot(h_scr[:], whh_ref[:],
+                           preferred_element_type=jnp.float32))
+        hidden = gates.shape[-1] // 4
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c = f * c_scr[:] + i * g
+        h = o * jnp.tanh(c)
+        c_scr[:] = c
+        h_scr[:] = h
+
+        # wait for the previous write of this slot before reusing it
+        @pl.when(t >= 2)
+        def _():
+            out_dma(slot, t - 2).wait()
+
+        out_buf[slot] = h.astype(out_buf.dtype)
+        out_dma(slot, t).start()
+        return ()
+
+    jax.lax.fori_loop(0, t_steps, body, (), unroll=False)
+    if t_steps >= 2:
+        out_dma((t_steps - 2) % 2, t_steps - 2).wait()
+    out_dma((t_steps - 1) % 2, t_steps - 1).wait()
+    hT_ref[:] = h_scr[:]
+    cT_ref[:] = c_scr[:]
+
+
+def _lstm_pallas_fwd(xg, w_hh_t, h0, c0, *, reverse: bool,
+                     block_b: int = 512, interpret: bool = False):
+    """xg: (T, B, 4H) bf16/f32; w_hh_t: (H, 4H); h0/c0: (B, H) f32.
+    Returns ys (T, B, H) in xg.dtype, hT, cT (B, H) f32."""
+    t_steps, b, four_h = xg.shape
+    hidden = four_h // 4
+    bp = _round_up(b, block_b)
+    if bp != b:
+        xg = jnp.pad(xg, ((0, 0), (0, bp - b), (0, 0)))
+        h0 = jnp.pad(h0, ((0, bp - b), (0, 0)))
+        c0 = jnp.pad(c0, ((0, bp - b), (0, 0)))
+    grid = (bp // block_b,)
+
+    kernel = functools.partial(_lstm_kernel, t_steps=t_steps,
+                               reverse=reverse)
+    ys, h_t, c_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # xg stays in HBM
+            pl.BlockSpec((hidden, four_h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hidden), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hidden), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # ys written by DMA
+            pl.BlockSpec((block_b, hidden), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hidden), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_steps, bp, hidden), xg.dtype),
+            jax.ShapeDtypeStruct((bp, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((bp, hidden), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_b, hidden), jnp.float32),   # h
+            pltpu.VMEM((block_b, hidden), jnp.float32),   # c
+            pltpu.VMEM((2, block_b, four_h), xg.dtype),   # xg double buf
+            pltpu.VMEM((2, block_b, hidden), xg.dtype),   # out double buf
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xg, w_hh_t, h0, c0)
+    return ys[:, :b], h_t[:b], c_t[:b]
+
+
+def _scan_reference(x, w_ih, w_hh, bias, h0, c0, reverse: bool):
+    """lax.scan LSTM used for gradients and as numerical reference."""
+    xg = x @ w_ih.T + bias
+    xg = jnp.swapaxes(xg, 0, 1)
+    w_hh_t = w_hh.T
+
+    def step(carry, xg_t):
+        h, c = carry
+        gates = xg_t.astype(jnp.float32) + h @ w_hh_t.astype(jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h.astype(x.dtype)
+
+    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), xg, reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1), h_t, c_t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def lstm_fused_scan(x, w_ih, w_hh, bias, h0, c0, reverse: bool = False):
+    """Fused-forward LSTM direction. x: (B, T, I) → ys (B, T, H), hT, cT.
+
+    Forward runs the Pallas kernel on TPU (scan elsewhere); backward
+    recomputes through the scan reference for exact gradients.
+    """
+    if not pallas_available():
+        return _scan_reference(x, w_ih, w_hh, bias, h0, c0, reverse)
+    xg = x @ w_ih.T + bias                      # (B, T, 4H) big MXU matmul
+    xg = jnp.swapaxes(xg, 0, 1)                 # (T, B, 4H)
+    ys, h_t, c_t = _lstm_pallas_fwd(
+        xg, w_hh.T.astype(xg.dtype),
+        h0.astype(jnp.float32), c0.astype(jnp.float32), reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1), h_t.astype(x.dtype), c_t.astype(x.dtype)
+
+
+def _fwd(x, w_ih, w_hh, bias, h0, c0, reverse):
+    out = lstm_fused_scan(x, w_ih, w_hh, bias, h0, c0, reverse)
+    return out, (x, w_ih, w_hh, bias, h0, c0)
+
+
+def _bwd(reverse, residuals, grads):
+    _, vjp = jax.vjp(
+        lambda *a: _scan_reference(*a, reverse=reverse), *residuals)
+    return vjp(grads)
+
+
+lstm_fused_scan.defvjp(_fwd, _bwd)

@@ -55,27 +55,17 @@ def init_lstm_params(key: jax.Array, input_size: int, hidden_size: int,
 
 def _one_direction(x: jax.Array, w_ih, w_hh, b_ih, b_hh,
                    h0: jax.Array, c0: jax.Array, reverse: bool):
-    """x: (B, T, I) → (outputs (B, T, H), (hT, cT))."""
-    hidden = w_hh.shape[1]
-    # (1) big MXU matmul outside the recurrence
-    xg = x @ w_ih.T + (b_ih + b_hh)          # (B, T, 4H)
-    xg = jnp.swapaxes(xg, 0, 1)              # (T, B, 4H) scan-major
-    w_hh_t = w_hh.T                          # (H, 4H)
+    """x: (B, T, I) → (outputs (B, T, H), (hT, cT)).
 
-    def step(carry, xg_t):
-        h, c = carry
-        gates = xg_t + h @ w_hh_t
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
-        g = jnp.tanh(g)
-        o = jax.nn.sigmoid(o)
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
-        return (h, c), h
+    Dispatches to the fused Pallas recurrence on TPU (VMEM-resident
+    state, double-buffered input gates — kernels/lstm_pallas.py); the
+    lax.scan fallback elsewhere computes identically.
+    """
+    from fnssl_tpu.kernels.lstm_pallas import lstm_fused_scan
 
-    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), xg, reverse=reverse)
-    return jnp.swapaxes(ys, 0, 1), (h_t, c_t)
+    ys, h_t, c_t = lstm_fused_scan(x, w_ih, w_hh, b_ih + b_hh, h0, c0,
+                                   reverse)
+    return ys, (h_t, c_t)
 
 
 def lstm(params: dict[str, jax.Array], x: jax.Array,
