@@ -9,3 +9,5 @@ from fnssl_tpu.core.norm import (
     ForgettingNormState, init_state)
 from fnssl_tpu.core.coords import cart2sph, sph2cart
 from fnssl_tpu.core.gcc import gcc, SRPMap
+from fnssl_tpu.core.convs import (
+    spheric_pad, caus_conv1d, caus_conv2d, caus_conv3d, caus_cnn_block)

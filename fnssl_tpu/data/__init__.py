@@ -13,3 +13,5 @@ from fnssl_tpu.data.fixed import FixTrajectoryDataset, collate_segmented
 from fnssl_tpu.data.simu import make_fnssl_trajectory_dataset, generate
 from fnssl_tpu.data.segments import (
     pad_segments, split_segments, merge_segments)
+from fnssl_tpu.data.locata import LocataDataset
+from fnssl_tpu.data.realman import RealData
