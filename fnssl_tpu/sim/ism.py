@@ -26,8 +26,13 @@ def _dim_images(order: int):
 
 
 def simulate_rir(room_sz, beta, src_pos, mic_pos, nb_img, tmax: float,
-                 fs: float, c: float = 343.0) -> np.ndarray:
+                 fs: float, c: float = 343.0,
+                 prefer_native: bool = True) -> np.ndarray:
     """RIRs from each source position to each mic.
+
+    Dispatches to the C++/OpenMP engine (sim/native) when built —
+    identical math, parallel over trajectory points; the vectorized
+    numpy path below is the always-available fallback.
 
     Args:
       room_sz: (3,), beta: (6,) wall reflection coeffs,
@@ -37,6 +42,11 @@ def simulate_rir(room_sz, beta, src_pos, mic_pos, nb_img, tmax: float,
     Returns:
       (npts, nch, ceil(tmax*fs)) float32.
     """
+    if prefer_native:
+        from fnssl_tpu.sim import native
+        if native.native_available():
+            return native.simulate_rir_native(room_sz, beta, src_pos,
+                                              mic_pos, nb_img, tmax, fs, c)
     L = np.asarray(room_sz, np.float64)
     beta = np.asarray(beta, np.float64)
     src = np.atleast_2d(np.asarray(src_pos, np.float64))

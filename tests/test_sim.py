@@ -92,3 +92,22 @@ def test_trajectory_piecewise_segments(rng):
 def test_t2n_orders():
     assert t2n(0.01, [3.43, 3.43, 3.43], c=343.0) == [1, 1, 1]
     assert t2n(0.02, [3.43, 6.86, 3.43], c=343.0) == [1, 1, 1]
+
+
+def test_native_engine_matches_numpy(rng):
+    """C++/OpenMP ISM vs the numpy engine: identical images math."""
+    from fnssl_tpu.sim import native
+
+    if not native.native_available():
+        import pytest
+        pytest.skip("no compiler for the native engine")
+    room = [5.0, 4.0, 3.0]
+    beta = beta_sabine_estimation(room, 0.3)
+    src = rng.uniform(0.5, 2.5, (4, 3))
+    mic = rng.uniform(1.0, 2.5, (3, 3))
+    a = simulate_rir(room, beta, src, mic, [4, 5, 6], 0.06, FS, C,
+                     prefer_native=False)
+    b = native.simulate_rir_native(room, beta, src, mic, [4, 5, 6],
+                                   0.06, FS, C)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)
