@@ -81,3 +81,15 @@ class PredDOA:
     def __call__(self, pred_batch, gt_batch, **metric_kw):
         pred, gt = self.predgt2doa(pred_batch, gt_batch)
         return self.evaluate(pred, gt, **metric_kw)
+
+
+def predgt2doa_cls(pred_logits, gt_batch=None):
+    """Classification-head decode (Learner.py:489-505): argmax class =
+    azimuth in degrees; unit VAD. Returns DOA in *radians* like the
+    regression path so `PredDOA.evaluate` treats both identically."""
+    cls = jnp.argmax(jnp.asarray(pred_logits), axis=-1)   # (nb, nt)
+    azi = jnp.deg2rad(cls.astype(jnp.float32))
+    ele = jnp.full_like(azi, jnp.pi / 2)
+    doa = jnp.stack([ele, azi], axis=2)[..., None]        # (nb, nt, 2, 1)
+    vad = jnp.ones(cls.shape + (1,), jnp.float32)
+    return {"doa": doa, "vad_sources": vad}, gt_batch

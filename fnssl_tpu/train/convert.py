@@ -66,3 +66,38 @@ def params_to_torch_state_dict(params: Mapping[str, Any],
 
     return {k: torch.from_numpy(v.copy())
             for k, v in nested_to_flat(params, prefix).items()}
+
+
+def load_torch_tar(path: str) -> dict[str, Any]:
+    """Load a raw-torch ``.tar`` checkpoint (Learner.py:285-315 format:
+    {'epoch', 'max_score', 'model': state_dict[, 'scalar']}) into a param
+    pytree. Returns (params, metadata)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    params = torch_state_dict_to_params(ckpt["model"])
+    meta = {k: v for k, v in ckpt.items() if k != "model"}
+    return params, meta
+
+
+def load_lightning_ckpt(path: str, strip_prefix: str = "arch."
+                        ) -> dict[str, Any]:
+    """Load a Lightning ``.ckpt`` (state_dict keys prefixed 'arch.',
+    FN-SSL/Model.py:92-99) into a param pytree. Returns (params, meta)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    params = torch_state_dict_to_params(ckpt["state_dict"], strip_prefix)
+    meta = {k: ckpt[k] for k in ("epoch", "global_step")
+            if k in ckpt}
+    return params, meta
+
+
+def save_torch_tar(path: str, params, epoch: int = 0,
+                   max_score: float = 0.0, prefix: str = ""):
+    """Write a raw-torch-compatible ``.tar`` so our trained params load
+    in the reference framework (bidirectional interop)."""
+    import torch
+
+    torch.save({"epoch": epoch, "max_score": max_score,
+                "model": params_to_torch_state_dict(params, prefix)}, path)

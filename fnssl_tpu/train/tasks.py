@@ -45,11 +45,29 @@ def make_fnssl_task(cfg: FNSSLConfig = FNSSLConfig(),
                   fre_max=fs / 2, ch_mode=ch_mode, speed=speed)
     preprocess = make_fnssl_preprocess(dpipd, ch_mode=ch_mode, nfft=nfft)
 
-    def loss_fn(params, batch, rng):
-        feats, gt = preprocess(batch["mic_sig"], batch["doa"], batch["vad"])
-        pred = fnssl_apply(params, feats, cfg=cfg, rng=rng,
-                           training=rng is not None)
-        return mse_ipd_loss(pred, gt["ipd"], nb=batch["mic_sig"].shape[0])
+    if cfg.is_doa:
+        # azimuth-classification head: CE on integer-degree classes
+        # (Learner.py:454-469; truncation matches the LongTensor cast)
+        from fnssl_tpu.train.losses import ce_doa_loss
+
+        import jax.numpy as jnp
+
+        def loss_fn(params, batch, rng):
+            feats, _ = preprocess(batch["mic_sig"], batch["doa"],
+                                  batch["vad"])
+            pred = fnssl_apply(params, feats, cfg=cfg, rng=rng,
+                               training=rng is not None)
+            azi_deg = batch["doa"][:, :, 1, 0] * (180.0 / jnp.pi)
+            labels = jnp.clip(azi_deg.astype(jnp.int32), 0, 179)
+            return ce_doa_loss(pred, labels)
+    else:
+        def loss_fn(params, batch, rng):
+            feats, gt = preprocess(batch["mic_sig"], batch["doa"],
+                                   batch["vad"])
+            pred = fnssl_apply(params, feats, cfg=cfg, rng=rng,
+                               training=rng is not None)
+            return mse_ipd_loss(pred, gt["ipd"],
+                                nb=batch["mic_sig"].shape[0])
 
     return FNSSLTask(loss_fn, preprocess, cfg, dpipd)
 
@@ -92,6 +110,54 @@ def make_ipdnet_task(cfg=None, mic_location: np.ndarray | None = None,
     preprocess = make_ipdnet_preprocess(
         dpipd, nonsource, ch_mode="none", nfft=nfft,
         vad_threshold=vad_threshold)
+
+    def loss_fn(params, batch, rng):
+        feats, gt = preprocess(batch["mic_sig"], batch["doa"], batch["vad"])
+        pred = ipdnet_apply(params, feats, cfg=cfg, rng=rng,
+                            training=rng is not None)
+        return pit_mse_loss(pred, gt["ipd"])
+
+    return IPDnetTask(loss_fn, preprocess, cfg, dpipd)
+
+
+def make_ipdnet_offline_task(cfg=None,
+                             mic_location: np.ndarray | None = None,
+                             nfft: int = 512, fs: int = 16000,
+                             speed: float = 340.0, max_track: int = 2,
+                             vad_threshold: float = 0.001) -> IPDnetTask:
+    """Offline IPDnet variant (runIPDnetOff.py:79-303): bidirectional
+    narrow LSTMs, *global* magnitude normalization instead of the
+    forgetting norm, and chunked offline inference at test time.
+    """
+    from fnssl_tpu.models.ipdnet import IPDnetConfig, ipdnet_apply
+    from fnssl_tpu.physics.targets import bessel_nonsource_target
+    from fnssl_tpu.train.losses import pit_mse_loss
+    from fnssl_tpu.train.preprocess import make_ipdnet_preprocess
+
+    if mic_location is None:
+        mic_location = DUALCH_MIC_LOCATION
+    if cfg is None:
+        cfg = IPDnetConfig(input_size=2 * mic_location.shape[0],
+                           max_track=max_track, is_online=False)
+    dpipd = DPIPD(ndoa_candidate=[37, 73], mic_location=mic_location,
+                  nf=nfft // 2 + 1, fre_max=fs / 2, ch_mode="M",
+                  speed=speed)
+    nonsource = bessel_nonsource_target(
+        mic_location, fre_used=slice(1, nfft // 2 + 1), nf=nfft // 2 + 1,
+        fre_max=fs / 2, speed=speed)
+    # offline global-mean normalization (runIPDnetOff.py:249-251)
+    import jax as _jax
+
+    base = make_ipdnet_preprocess(dpipd, nonsource, ch_mode="none",
+                                  nfft=nfft, vad_threshold=vad_threshold)
+
+    @_jax.jit
+    def preprocess(mic_sig, doa, vad):
+        from fnssl_tpu.train.preprocess import stft_features
+        feats = stft_features(mic_sig, ch_mode="none", nfft=nfft,
+                              norm="offline")
+        _, gt = base(mic_sig, doa, vad)
+        return feats, gt
 
     def loss_fn(params, batch, rng):
         feats, gt = preprocess(batch["mic_sig"], batch["doa"], batch["vad"])
