@@ -103,12 +103,21 @@ def _lstm_kernel(xg_hbm, whh_ref, h0_ref, c0_ref, out_hbm, hT_ref, cT_ref,
     cT_ref[:] = c_scr[:]
 
 
+def _auto_block_b(hidden: int) -> int:
+    """Largest batch tile fitting the ~16 MB VMEM budget (empirical:
+    block·H ≤ 128k elements keeps scratch+pipelining under the limit;
+    bigger tiles mean bigger per-step MXU matmuls)."""
+    return max(128, min(1024, (131072 // hidden) // 128 * 128))
+
+
 def _lstm_pallas_fwd(xg, w_hh_t, h0, c0, *, reverse: bool,
-                     block_b: int = 512, interpret: bool = False):
+                     block_b: int | None = None, interpret: bool = False):
     """xg: (T, B, 4H) bf16/f32; w_hh_t: (H, 4H); h0/c0: (B, H) f32.
     Returns ys (T, B, H) in xg.dtype, hT, cT (B, H) f32."""
     t_steps, b, four_h = xg.shape
     hidden = four_h // 4
+    if block_b is None:
+        block_b = _auto_block_b(hidden)
     bp = _round_up(b, block_b)
     if bp != b:
         xg = jnp.pad(xg, ((0, 0), (0, bp - b), (0, 0)))
@@ -150,6 +159,10 @@ def _lstm_pallas_fwd(xg, w_hh_t, h0, c0, *, reverse: bool,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # batch tiles are independent → Mosaic may split the grid
+        # across the chip's TensorCores (megacore)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(xg, w_hh_t, h0, c0)
     return ys[:, :b], h_t[:b], c_t[:b]
