@@ -70,8 +70,10 @@ class PredDOA:
                  ae_th: float = 5.0, use_vad: bool = True,
                  vad_th=(2 / 3, 2 / 3), source_mode: str = "single"):
         """Metrics in degrees (Lightning/Module.py:748-773 defaults)."""
-        doa_gt = np.degrees(np.asarray(gt["doa"], np.float64))
-        doa_est = np.degrees(np.asarray(pred["doa"], np.float64))
+        # fetch in native dtype first: dtype-converting fetches of device
+        # arrays are unimplemented on some backends (axon tunnel)
+        doa_gt = np.degrees(np.asarray(gt["doa"]).astype(np.float64))
+        doa_est = np.degrees(np.asarray(pred["doa"]).astype(np.float64))
         fn = (get_metric_single if source_mode == "single"
               else get_metric_multiple)
         return fn(doa_gt, np.asarray(gt["vad_sources"]), doa_est,

@@ -73,10 +73,12 @@ class DPIPD:
         # (nele, nazi, nf, P) complex64 — matches reference template layout
         self.template = np.exp(1j * ipd).astype(np.complex64)
         self.doa_candidate = [ele, azi]
-        # device copy for jit consumers
-        self.template_j = jnp.asarray(self.template)
-        self._baseline_j = jnp.asarray(baseline.astype(np.float32))
-        self._fre_j = jnp.asarray(fre.astype(np.float32))
+        # host-numpy copies for jit consumers: captured as trace
+        # constants, so they must NOT be device arrays (device-constant
+        # fetches and complex64 transfers are unimplemented on some
+        # backends, e.g. the axon TPU tunnel)
+        self._baseline_j = baseline.astype(np.float32)
+        self._fre_j = fre.astype(np.float32)
 
     def targets(self, source_doa: jax.Array) -> jax.Array:
         """Per-frame DP-IPD targets.
@@ -152,7 +154,6 @@ class DPIPD2:
         ipd = -2.0 * np.pi * fre[None, None, :, None] * itd[:, :, None, :]
         self.template = np.exp(1j * ipd).astype(np.complex64)
         self.doa_candidate = [ele, azi]
-        self.template_j = jnp.asarray(self.template)
 
     def targets(self, source_doa: jax.Array, distance: jax.Array,
                 mic_location: jax.Array | None = None) -> jax.Array:
@@ -167,14 +168,14 @@ class DPIPD2:
           (nb, nt, nf, P, ns) complex64.
         """
         if mic_location is None:
-            mic = jnp.asarray(self.mic_location.astype(np.float32))
-            mic = jnp.broadcast_to(mic, (source_doa.shape[0],) + mic.shape)
+            mic = self.mic_location.astype(np.float32)[None]
+            mic = jnp.broadcast_to(jnp.asarray(mic),
+                                   (source_doa.shape[0],) + mic.shape[1:])
         else:
             mic = mic_location
-        fre = jnp.linspace(0.0, self.fre_max, self.nf)
+        fre = np.linspace(0.0, self.fre_max, self.nf).astype(np.float32)
         return _dpipd2_targets(source_doa, distance, mic,
-                               jnp.asarray(self.first),
-                               jnp.asarray(self.second), fre, self.speed)
+                               self.first, self.second, fre, self.speed)
 
 
 @functools.partial(jax.jit, static_argnames=("speed",))

@@ -13,6 +13,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fnssl_tpu.core.norm import forgetting_norm, offline_norm
 from fnssl_tpu.core.pairs import pair_rebatch
@@ -102,7 +103,7 @@ def make_ipdnet_preprocess(dpipd, nonsource, *, ch_mode: str = "none",
     (nb, nt2, 2nf, P, ns) per-track targets for the PIT loss.
     """
     fre_used = slice(1, nfft // 2 + 1)
-    nonsource = jnp.asarray(nonsource)
+    nonsource = np.asarray(nonsource, np.float32)  # host constant
 
     @jax.jit
     def preprocess(mic_sig, doa, vad):

@@ -210,7 +210,7 @@ def make_ipdnet2_task(cfg=None, mic_location: np.ndarray | None = None,
     nonsource = bessel_nonsource_target(
         mic_location, fre_used=slice(1, nfft // 2 + 1), nf=nfft // 2 + 1,
         fre_max=fs / 2, speed=speed)
-    nonsource_j = jnp.asarray(nonsource)
+    nonsource_j = np.asarray(nonsource, np.float32)
     fre_used = slice(1, nfft // 2 + 1)
 
     @jax.jit
