@@ -85,6 +85,32 @@ class PredDOA:
         return self.evaluate(pred, gt, **metric_kw)
 
 
+def ipd_baseline(mic_sig, decoder: "PredDOA", *, nfft: int = 512,
+                 win_len: int = 512, win_shift_ratio: float = 0.5,
+                 time_pool_size: int = 12):
+    """DNN-free localization baseline: decode the measured cross-spectrum
+    IPD directly on the template grid.
+
+    The reference's ``wDNN=False`` path (Learner.py:208-214) subtracts the
+    *normalized imaginary parts* of the two channels as a stand-in for
+    phase; this implements the physically-correct inter-channel phase
+    difference exp(j·(∠X₁−∠X₂)) which the DP-IPD templates model.
+
+    Args: mic_sig (nb, nsample, 2). Returns the PredDOA pred dict.
+    """
+    from fnssl_tpu.core.stft import stft
+
+    spec = stft(jnp.asarray(mic_sig), win_len=win_len,
+                win_shift_ratio=win_shift_ratio, nfft=nfft)
+    cross = spec[..., 0] * jnp.conj(spec[..., 1])   # (nb, nf, nt)
+    ipd = cross / (jnp.abs(cross) + 1e-8)
+    sel = ipd[:, 1: nfft // 2 + 1]
+    ri = jnp.concatenate([jnp.real(sel), jnp.imag(sel)], axis=1)
+    pred = jnp.transpose(ri, (0, 2, 1))             # (nb, nt, 2nf)
+    return decoder.predgt2doa(pred,
+                              time_pool_size=time_pool_size)[0]
+
+
 def predgt2doa_cls(pred_logits, gt_batch=None):
     """Classification-head decode (Learner.py:489-505): argmax class =
     azimuth in degrees; unit VAD. Returns DOA in *radians* like the

@@ -136,3 +136,24 @@ def test_spatial_spectrum_peak_at_true_doa():
     ipd = tmpl[0, true_idx][None, None]   # (1, 1, 2nf, P)
     ss = spatial_spectrum(jnp.asarray(ipd), pd.template)
     assert int(jnp.argmax(ss[0, 0, 0])) == true_idx
+
+
+def test_ipd_baseline_localizes_simulated_source(rng):
+    """DNN-free cross-spectrum IPD decode recovers a simulated DOA."""
+    from fnssl_tpu.eval import ipd_baseline
+    from fnssl_tpu.sim import simulate_rir, simulate_trajectory
+
+    fs, c = 16000, 340.0  # decoder templates use speed 340
+    arr_c = np.array([3.0, 2.5, 1.5])
+    mics = arr_c + np.array([[-0.04, 0, 0], [0.04, 0, 0]])
+    azi_true = np.deg2rad(55.0)
+    src = arr_c + 1.5 * np.array([np.cos(azi_true), np.sin(azi_true), 0])
+    rirs = simulate_rir([6, 5, 3], np.zeros(6), src[None], mics,
+                        [0, 0, 0], 0.05, fs, c)
+    sig = rng.standard_normal(16000).astype(np.float32)
+    mic_sig = simulate_trajectory(sig, rirs, np.array([0.0]), fs)[:16000]
+
+    decoder = PredDOA()
+    pred = ipd_baseline(mic_sig[None], decoder)
+    est = np.degrees(np.asarray(pred["doa"][0, :, 1, 0]))
+    assert abs(np.median(est) - 55.0) < 6.0, np.median(est)
