@@ -4,5 +4,5 @@ from fnssl_tpu.eval.decode import (
 from fnssl_tpu.eval.metrics import (
     angular_error, get_metric_single, get_metric_multiple)
 from fnssl_tpu.eval.pred_doa import (
-    PredDOA, predgt2doa_cls, ipd_baseline)
+    PredDOA, PredDOAMultiTrack, predgt2doa_cls, ipd_baseline)
 from fnssl_tpu.eval.vis import vis_doa, locata_plot

@@ -85,6 +85,76 @@ class PredDOA:
         return self.evaluate(pred, gt, **metric_kw)
 
 
+class PredDOAMultiTrack:
+    """Multi-track IPDnet decode + metrics (IPDnet/Module.py:423-600).
+
+    Each track's (nb, nt, 2nf, P) IPD is decoded independently by
+    single-source IDL on an azimuth-only grid (linear arrays: ele=π/2,
+    azi 0..π × res_phi), VAD = LS template scale ('UnkNum'); tracks are
+    stacked and scored with Hungarian-matched multi-source metrics
+    (defaults ae_TH=10, vad_TH=[0.001, 0.5]). ``save_dir`` reproduces the
+    per-batch npy dumps (Module.py:592-597).
+    """
+
+    def __init__(self, mic_location, max_track: int = 2,
+                 res_the: int = 1, res_phi: int = 180, fs: int = 16000,
+                 nfft: int = 512, ch_mode: str = "M",
+                 speed: float = 340.0, save_dir: str | None = None):
+        self.max_track = max_track
+        self.fre_used = slice(1, nfft // 2 + 1)
+        self.save_dir = save_dir
+        dpipd = DPIPD(ndoa_candidate=[res_the, res_phi],
+                      mic_location=np.asarray(mic_location),
+                      nf=nfft // 2 + 1, fre_max=fs / 2, ch_mode=ch_mode,
+                      speed=speed, ele_range=(np.pi / 2, np.pi / 2),
+                      azi_range=(0.0, np.pi))
+        self.template = jnp.asarray(template_ri(dpipd.template,
+                                                self.fre_used))
+        self.ele_candidate = jnp.asarray(
+            np.full(res_the, np.pi / 2, np.float32))
+        self.azi_candidate = jnp.asarray(
+            np.linspace(0.0, np.pi, res_phi).astype(np.float32))
+
+    def pred2doa(self, pred, gt_batch=None):
+        """pred: (nb, nt, 2nf, P, max_track) model output."""
+        from fnssl_tpu.eval.decode import idl_decode
+
+        pred = jnp.asarray(pred)
+        doas, vads = [], []
+        for track in range(self.max_track):
+            ipd = pred[..., track]                  # (nb, nt, 2nf, P)
+            res = idl_decode(ipd, self.template, self.ele_candidate,
+                             self.azi_candidate, max_num_sources=1,
+                             source_num_mode="unkNum")
+            doas.append(res.doa[..., 0])
+            vads.append(res.vad[..., 0])
+        out = {"doa": jnp.stack(doas, axis=-1),
+               "vad_sources": jnp.stack(vads, axis=-1)}
+        return out, gt_batch
+
+    def evaluate(self, pred, gt, ae_th: float = 10.0,
+                 vad_th=(0.001, 0.5), idx: int | None = None):
+        doa_gt = np.degrees(np.asarray(gt["doa"]).astype(np.float64))
+        doa_est = np.degrees(np.asarray(pred["doa"]).astype(np.float64))
+        vad_gt = np.asarray(gt["vad_sources"])
+        vad_est = np.asarray(pred["vad_sources"])
+        if self.save_dir is not None and idx is not None:
+            import os
+            os.makedirs(self.save_dir, exist_ok=True)
+            for name, arr in (("doagt", doa_gt), ("doaest", doa_est),
+                              ("vadgt", vad_gt), ("vadest", vad_est)):
+                np.save(os.path.join(self.save_dir, f"{idx}_{name}.npy"),
+                        arr)
+        return get_metric_multiple(doa_gt, vad_gt, doa_est, vad_est,
+                                   ae_mode=("azi",), ae_th=ae_th,
+                                   use_vad=True, vad_th=vad_th)
+
+    def __call__(self, pred_batch, gt_batch, idx: int | None = None,
+                 **kw):
+        pred, gt = self.pred2doa(pred_batch, gt_batch)
+        return self.evaluate(pred, gt, idx=idx, **kw)
+
+
 def ipd_baseline(mic_sig, decoder: "PredDOA", *, nfft: int = 512,
                  win_len: int = 512, win_shift_ratio: float = 0.5,
                  time_pool_size: int = 12):

@@ -157,3 +157,28 @@ def test_ipd_baseline_localizes_simulated_source(rng):
     pred = ipd_baseline(mic_sig[None], decoder)
     est = np.degrees(np.asarray(pred["doa"][0, :, 1, 0]))
     assert abs(np.median(est) - 55.0) < 6.0, np.median(est)
+
+
+def test_multitrack_pred_doa(rng, tmp_path):
+    """Per-track IDL decode: ideal 2-track IPD recovers both DOAs."""
+    from fnssl_tpu.eval import PredDOAMultiTrack
+
+    mic = np.array([[-0.04, 0, 0], [0.04, 0, 0]])
+    mt = PredDOAMultiTrack(mic, save_dir=str(tmp_path))
+    # build ideal per-track IPD from the decode template itself
+    tmpl = np.asarray(mt.template)           # (1, 180, 2nf, P)
+    i1, i2 = 40, 130
+    nb, nt = 2, 5
+    pred = np.zeros((nb, nt, tmpl.shape[2], tmpl.shape[3], 2), np.float32)
+    pred[..., 0] = tmpl[0, i1]
+    pred[..., 1] = tmpl[0, i2]
+    gt_doa = np.zeros((nb, nt, 2, 2), np.float32)
+    gt_doa[:, :, 0] = np.pi / 2
+    gt_doa[:, :, 1, 0] = mt.azi_candidate[i1]
+    gt_doa[:, :, 1, 1] = mt.azi_candidate[i2]
+    gt = {"doa": gt_doa, "vad_sources": np.ones((nb, nt, 2), np.float32)}
+    metric = mt(pred, gt, idx=3)
+    assert metric["ACC"] == pytest.approx(1.0)
+    assert metric["MAE"] == pytest.approx(0.0, abs=1e-4)
+    import os
+    assert os.path.exists(tmp_path / "3_doaest.npy")
