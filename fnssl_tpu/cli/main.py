@@ -113,7 +113,7 @@ def _init_params(name: str, task, seed: int):
 
 
 def _batches(data_dir: str, bz: int, epoch: int, seed: int,
-             shuffle: bool):
+             shuffle: bool, pad_tracks: int | None = None):
     """Deterministic per-epoch sharded batches from a wav+npz dir."""
     from fnssl_tpu.data import FixTrajectoryDataset, Segmenting, \
         collate_segmented
@@ -122,7 +122,8 @@ def _batches(data_dir: str, bz: int, epoch: int, seed: int,
     ds = FixTrajectoryDataset(data_dir, transforms=[Segmenting()])
     sched = host_local_slice(len(ds), epoch, seed=seed, shuffle=shuffle)
     for i in range(0, len(sched) - bz + 1, bz):
-        yield collate_segmented([ds[idx] for idx, _ in sched[i:i + bz]])
+        yield collate_segmented([ds[idx] for idx, _ in sched[i:i + bz]],
+                                pad_tracks=pad_tracks)
 
 
 def cmd_simulate(args):
@@ -170,9 +171,12 @@ def cmd_fit(args):
         log_dir=args.log_dir, use_mesh=args.use_mesh, seed=args.seed)
     if args.resume:
         learner.resume()
+    pad = getattr(task.cfg, "max_track", None)
     history = learner.fit(
-        lambda e: _batches(args.train_dir, args.bz, e, args.seed, True),
-        lambda e: _batches(args.valid_dir, args.bz, 0, args.seed, False),
+        lambda e: _batches(args.train_dir, args.bz, e, args.seed, True,
+                           pad),
+        lambda e: _batches(args.valid_dir, args.bz, 0, args.seed, False,
+                           pad),
         epochs=args.epochs)
     learner.close()
     print(json.dumps({"final_train": history["train"][-1],
@@ -206,7 +210,8 @@ def cmd_test(args):
     if epoch == 0:
         print("warning: no checkpoint found; testing fresh params")
     metrics = learner.test(
-        _batches(args.data_dir, args.bz, 0, args.seed, False))
+        _batches(args.data_dir, args.bz, 0, args.seed, False,
+                 getattr(task.cfg, "max_track", None)))
     learner.close()
     print(json.dumps(metrics))
 

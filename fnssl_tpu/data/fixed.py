@@ -46,13 +46,24 @@ class FixTrajectoryDataset:
             "vad_sources": scene.mic_vad_sources}
 
 
-def collate_segmented(items, pool: int = 12):
+def collate_segmented(items, pool: int = 12, pad_tracks: int | None = None):
     """Stack dataset items into the jit batch contract
     {'mic_sig', 'doa', 'vad'} — VAD windows reduced to their window mean
-    (the reference's ``vad_batch.mean(axis=2)`` at main.py:242)."""
+    (the reference's ``vad_batch.mean(axis=2)`` at main.py:242).
+
+    ``pad_tracks`` zero-pads the source axis to a fixed track count (the
+    reference's fixed-shape gt padding, IPDnet/Dataset.py:518-534) so
+    1-source data trains multi-track PIT models.
+    """
     mic = np.stack([x for x, _ in items]).astype(np.float32)
     doa = np.stack([g["doa"] for _, g in items]).astype(np.float32)
     # (nb, nseg, 2, ns); vad windows (nb, nseg, K, ns) → mean over K
     vad = np.stack([g["vad_sources"] for _, g in items])
     vad = vad.mean(axis=2).astype(np.float32)
+    if pad_tracks is not None and doa.shape[-1] < pad_tracks:
+        extra = pad_tracks - doa.shape[-1]
+        doa = np.concatenate(
+            [doa, np.zeros(doa.shape[:-1] + (extra,), doa.dtype)], -1)
+        vad = np.concatenate(
+            [vad, np.zeros(vad.shape[:-1] + (extra,), vad.dtype)], -1)
     return {"mic_sig": mic, "doa": doa, "vad": vad}
