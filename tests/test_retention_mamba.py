@@ -131,3 +131,50 @@ def test_mamba_causality(rng):
     np.testing.assert_allclose(y1[:, :10], y2[:, :10], rtol=1e-5,
                                atol=1e-6)
     assert np.abs(y1[:, 10:] - y2[:, 10:]).max() > 1e-3
+
+
+def test_mamba_matches_independent_torch_loop(rng):
+    """Cross-validate the selective-scan math against an independent
+    step-by-step torch implementation of the published S6 recurrence,
+    using the same (mamba_ssm-named) parameters."""
+    import torch
+
+    cfg = MambaConfig(d_model=8, d_state=4, d_conv=3)
+    params = init_mamba_params(jax.random.PRNGKey(5), cfg)
+    b, t = 2, 10
+    x = rng.standard_normal((b, t, 8)).astype(np.float32)
+
+    mine = np.asarray(mamba_apply(params, jnp.asarray(x), cfg))
+
+    p = {k: (torch.from_numpy(np.asarray(v).copy())
+             if not isinstance(v, dict) else
+             {k2: torch.from_numpy(np.asarray(v2).copy())
+              for k2, v2 in v.items()}) for k, v in params.items()}
+    u = torch.from_numpy(x.copy())
+    with torch.no_grad():
+        xz = u @ p["in_proj"]["weight"].T
+        xin, z = xz.chunk(2, dim=-1)
+        # depthwise causal conv + silu
+        di, k = cfg.d_inner, cfg.d_conv
+        w = p["conv1d"]["weight"][:, 0, :]
+        xpad = torch.nn.functional.pad(xin.transpose(1, 2), (k - 1, 0))
+        conv = sum(xpad[:, :, i: i + t] * w[None, :, i: i + 1]
+                   for i in range(k)) + p["conv1d"]["bias"][None, :, None]
+        xc = torch.nn.functional.silu(conv.transpose(1, 2))
+        x_dbl = xc @ p["x_proj"]["weight"].T
+        dt, bmat, cmat = torch.split(
+            x_dbl, [cfg.dt_rank, cfg.d_state, cfg.d_state], dim=-1)
+        delta = torch.nn.functional.softplus(
+            dt @ p["dt_proj"]["weight"].T + p["dt_proj"]["bias"])
+        a = -torch.exp(p["A_log"])
+        h = torch.zeros(b, di, cfg.d_state)
+        ys = []
+        for i in range(t):
+            da = torch.exp(delta[:, i, :, None] * a)
+            h = da * h + (delta[:, i] * xc[:, i])[..., None] \
+                * bmat[:, i, None, :]
+            ys.append((h @ cmat[:, i, :, None]).squeeze(-1)
+                      + p["D"] * xc[:, i])
+        y = torch.stack(ys, dim=1) * torch.nn.functional.silu(z)
+        ref = (y @ p["out_proj"]["weight"].T).numpy()
+    np.testing.assert_allclose(mine, ref, rtol=1e-4, atol=1e-5)
