@@ -1,0 +1,59 @@
+"""Learner unit tests: fit / checkpoint / resume / early stopping."""
+import jax
+import numpy as np
+
+from fnssl_tpu.models.fnssl import FNSSLConfig, init_fnssl_params
+from fnssl_tpu.train.learner import EarlyStopping, Learner
+from fnssl_tpu.train.tasks import make_fnssl_task, synthetic_fnssl_batch
+
+
+def _task_and_params():
+    cfg = FNSSLConfig()
+    task = make_fnssl_task(cfg)
+    params = init_fnssl_params(jax.random.PRNGKey(0), cfg)
+    return task, params
+
+
+def test_early_stopping_logic():
+    es = EarlyStopping(patience=2, min_delta=0.01)
+    assert not es.update(1.0)
+    assert not es.update(0.95)      # improvement
+    assert not es.update(0.949)     # < min_delta → bad epoch 1
+    assert es.update(0.948)         # bad epoch 2 → stop
+
+
+def test_learner_fit_checkpoints_and_resumes(tmp_path):
+    task, params = _task_and_params()
+    batch = synthetic_fnssl_batch(nb=2, t_s=0.25)
+    batches = lambda e: [batch]  # noqa: E731
+
+    log_dir = str(tmp_path / "run")
+    learner = Learner(task.loss_fn, params, lr=1e-3, lr_gamma=1.0,
+                      log_dir=log_dir, seed=3)
+    hist = learner.fit(batches, batches, epochs=2)
+    assert len(hist["train"]) == 2
+    assert hist["train"][1] < hist["train"][0]
+    final_valid = hist["valid"][-1]
+    learner.close()
+
+    # resume continues from the saved epoch with identical state
+    learner2 = Learner(task.loss_fn, params, lr=1e-3, lr_gamma=1.0,
+                      log_dir=log_dir, seed=3)
+    epoch = learner2.resume()
+    assert epoch == 2
+    val = learner2.eval_epoch([batch])
+    assert val["loss"] == final_valid  # bit-identical restored params...
+    learner2.close()
+
+
+def test_learner_early_stops(tmp_path):
+    task, params = _task_and_params()
+    batch = synthetic_fnssl_batch(nb=2, t_s=0.25)
+    learner = Learner(task.loss_fn, params, lr=0.0, lr_gamma=1.0,
+                      log_dir=str(tmp_path / "es"),
+                      early_stopping=EarlyStopping(patience=1,
+                                                   min_delta=0.5))
+    hist = learner.fit(lambda e: [batch], lambda e: [batch], epochs=50)
+    # lr=0 → no improvement → stops after patience+1 epochs
+    assert len(hist["valid"]) == 2
+    learner.close()
