@@ -20,6 +20,15 @@ TORCH_CPU_BASELINE = 13061.0  # T-F frames/s, measured in-container
 def main():
     import jax
 
+    # persistent compilation cache: survives the flaky remote-compile
+    # helper by reusing programs compiled in earlier runs
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/fnssl_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from fnssl_tpu.models.fnssl import (
         FNSSLConfig, fnssl_apply, init_fnssl_params)
 

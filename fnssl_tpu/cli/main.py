@@ -54,11 +54,19 @@ def build_parser():
 
     p = sub.add_parser("fit", help="train a model")
     _add_common(p)
-    p.add_argument("--train-dir", required=True)
+    p.add_argument("--train-dir", required=True,
+                   help="wav+npz dir, or RealMAN ma_speech dir for ipdnet2")
     p.add_argument("--valid-dir", required=True)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--realman-csv", default=None,
+                   help="RealMAN targets CSV (ipdnet2)")
+    p.add_argument("--realman-noise", default=None,
+                   help="RealMAN noise dir (ipdnet2)")
+    p.add_argument("--realman-ext", default="flac")
+    p.add_argument("--mic-ids", default="0,1,3,5,7",
+                   help="RealMAN mic subset (ipdnet2)")
 
     p = sub.add_parser("test", help="evaluate a checkpoint")
     _add_common(p)
@@ -81,7 +89,7 @@ def _apply_yaml_defaults(ap, args):
     return args
 
 
-def _make_task(name: str):
+def _make_task(name: str, args=None):
     from fnssl_tpu.models.fnssl import FNSSLConfig
     from fnssl_tpu.train import tasks
 
@@ -92,7 +100,12 @@ def _make_task(name: str):
     if name == "ipdnet":
         return tasks.make_ipdnet_task()
     if name == "ipdnet2":
-        return tasks.make_ipdnet2_task()
+        mic = None
+        if args is not None and getattr(args, "mic_ids", None):
+            from fnssl_tpu.data.arrays import audiowu_high_array_geometry
+            ids = [int(i) for i in args.mic_ids.split(",")]
+            mic = audiowu_high_array_geometry()[ids]
+        return tasks.make_ipdnet2_task(mic_location=mic)
     raise SystemExit(f"model {name!r} has no CLI task wiring yet")
 
 
@@ -110,6 +123,20 @@ def _init_params(name: str, task, seed: int):
         from fnssl_tpu.models.spatialnet import init_spatialnet_params
         return init_spatialnet_params(key, task.cfg)
     raise SystemExit(name)
+
+
+def _realman_batches(args, bz: int, epoch: int, seed: int,
+                     shuffle: bool):
+    """RealMAN on-the-fly batches for the ipdnet2 task."""
+    from fnssl_tpu.data import RealData, collate_realman
+    from fnssl_tpu.parallel import host_local_slice
+
+    mic_ids = [int(i) for i in args.mic_ids.split(",")]
+    ds = RealData(args.train_dir, [args.realman_csv], args.realman_noise,
+                  use_mic_id=mic_ids, max_source=2, ext=args.realman_ext)
+    sched = host_local_slice(len(ds), epoch, seed=seed, shuffle=shuffle)
+    for i in range(0, len(sched) - bz + 1, bz):
+        yield collate_realman([ds[item] for item in sched[i:i + bz]])
 
 
 def _batches(data_dir: str, bz: int, epoch: int, seed: int,
@@ -158,7 +185,7 @@ def cmd_fit(args):
 
     set_seed(args.seed)
     _snapshot_config(args)
-    task = _make_task(args.model)
+    task = _make_task(args.model, args)
     params = _init_params(args.model, task, args.seed)
     defaults = {"fnssl": (1e-3, 0.8988), "fnssl_doa": (1e-3, 0.8988),
                 "ipdnet": (5e-4, 0.975), "ipdnet2": (5e-4, 0.975)}
@@ -171,13 +198,21 @@ def cmd_fit(args):
         log_dir=args.log_dir, use_mesh=args.use_mesh, seed=args.seed)
     if args.resume:
         learner.resume()
-    pad = getattr(task.cfg, "max_track", None)
-    history = learner.fit(
-        lambda e: _batches(args.train_dir, args.bz, e, args.seed, True,
-                           pad),
-        lambda e: _batches(args.valid_dir, args.bz, 0, args.seed, False,
-                           pad),
-        epochs=args.epochs)
+    if args.model == "ipdnet2":
+        if not args.realman_csv or not args.realman_noise:
+            raise SystemExit("ipdnet2 trains on RealMAN: pass "
+                             "--realman-csv and --realman-noise")
+        train_fn = lambda e: _realman_batches(args, args.bz, e,  # noqa
+                                              args.seed, True)
+        valid_fn = lambda e: _realman_batches(args, args.bz, 0,  # noqa
+                                              args.seed, False)
+    else:
+        pad = getattr(task.cfg, "max_track", None)
+        train_fn = lambda e: _batches(args.train_dir, args.bz, e,  # noqa
+                                      args.seed, True, pad)
+        valid_fn = lambda e: _batches(args.valid_dir, args.bz, 0,  # noqa
+                                      args.seed, False, pad)
+    history = learner.fit(train_fn, valid_fn, epochs=args.epochs)
     learner.close()
     print(json.dumps({"final_train": history["train"][-1],
                       "final_valid": history["valid"][-1],

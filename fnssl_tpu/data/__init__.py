@@ -14,4 +14,4 @@ from fnssl_tpu.data.simu import make_fnssl_trajectory_dataset, generate
 from fnssl_tpu.data.segments import (
     pad_segments, split_segments, merge_segments)
 from fnssl_tpu.data.locata import LocataDataset
-from fnssl_tpu.data.realman import RealData
+from fnssl_tpu.data.realman import RealData, collate_realman

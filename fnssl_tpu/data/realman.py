@@ -170,8 +170,9 @@ class RealData:
         nsample = int(self.wav_use_len * self.target_fs)
         sigs, vads, targets_l, dist_l = [], [], [], []
         for sig_path in paths:
-            dp_path = sig_path.replace(os.sep + self.ma_dirname + os.sep,
-                                       os.sep + self.dp_dirname + os.sep)
+            # direct-path sibling tree (works for relative paths too)
+            dp_path = sig_path.replace(self.ma_dirname + os.sep,
+                                       self.dp_dirname + os.sep, 1)
             dp_sig, _ = read_audio(dp_path)
             sig = self._load_channels(sig_path, mic_ids)
             if sig.shape[0] < 5 * self.target_fs:   # pad short files
@@ -265,3 +266,18 @@ class RealData:
                 else:
                     mask(0, slice(-n, None), slice(-n * 1600, None))
         # mode 4: full overlap, no masking
+
+
+def collate_realman(items):
+    """Stack on-the-fly RealData items into the ipdnet2 task batch
+    contract {'mic_sig', 'azi_deg', 'distance', 'vad', 'mic_pos'}.
+    All items in a batch must share one mic subset (fixed-array mode)."""
+    sig = np.stack([it[0] for it in items]).astype(np.float32)
+    targets = np.stack([np.asarray(it[1]) for it in items]
+                       ).astype(np.float32)
+    vad = np.stack([np.asarray(it[2]) for it in items]).astype(np.float32)
+    topo = np.stack([np.asarray(it[3]) for it in items]
+                    ).astype(np.float32)
+    dist = np.stack([np.asarray(it[4]) for it in items]).astype(np.float32)
+    return {"mic_sig": sig, "azi_deg": targets, "distance": dist,
+            "vad": vad, "mic_pos": topo}
