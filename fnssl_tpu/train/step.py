@@ -68,6 +68,11 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
     Returns step(state, batch, rng) → (state, loss). Under a data mesh,
     call with batch sharded on 'data' and state replicated; the mean-loss
     gradient all-reduce is inserted by XLA.
+
+    Resilience: if compiling the fused grad+update program fails at
+    runtime (observed with the remote TPU compile helper on very large
+    programs), the step transparently falls back to two smaller compiled
+    programs (grad, then optimizer update) with identical numerics.
     """
     def update(state: TrainState, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
@@ -75,7 +80,32 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
-    return jax.jit(update, donate_argnums=(0,) if donate else ())
+    fused = jax.jit(update, donate_argnums=(0,) if donate else ())
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    def apply_updates(state: TrainState, grads):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1)
+
+    apply_fn = jax.jit(apply_updates,
+                       donate_argnums=(0, 1) if donate else ())
+    mode = {"split": False}
+
+    def step(state: TrainState, batch, rng):
+        if not mode["split"]:
+            try:
+                return fused(state, batch, rng)
+            except jax.errors.JaxRuntimeError as e:
+                if "remote_compile" not in str(e):
+                    raise
+                mode["split"] = True
+                print("train step: fused compile failed; "
+                      "falling back to split grad+update programs")
+        loss, grads = grad_fn(state.params, batch, rng)
+        return apply_fn(state, grads), loss
+
+    return step
 
 
 def make_eval_step(loss_fn: Callable):
