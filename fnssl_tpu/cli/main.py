@@ -36,6 +36,8 @@ def _add_common(p):
     p.add_argument("--bz", type=int, default=4)
     p.add_argument("--use-mesh", action="store_true",
                    help="shard batches over all local devices (DP)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax debug_nans (SURVEY §5.2 equivalent)")
 
 
 def build_parser():
@@ -51,6 +53,11 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--librispeech", default=None,
                    help="LibriSpeech root (synthetic sources if omitted)")
+    p.add_argument("--preset", default="fnssl",
+                   choices=["fnssl", "ipdnet"],
+                   help="simulation stage constants (Simu.py variants)")
+    p.add_argument("--stage", default="train",
+                   choices=["train", "dev", "test"])
 
     p = sub.add_parser("fit", help="train a model")
     _add_common(p)
@@ -155,15 +162,22 @@ def _batches(data_dir: str, bz: int, epoch: int, seed: int,
 
 def cmd_simulate(args):
     from fnssl_tpu.data import (
-        LibriSpeechDataset, generate, make_fnssl_trajectory_dataset)
+        LibriSpeechDataset, generate, make_fnssl_trajectory_dataset,
+        make_ipdnet_trajectory_dataset)
 
     src = None
     if args.librispeech:
         src = LibriSpeechDataset(args.librispeech, args.T, 16000,
                                  args.num_source, return_vad=True)
-    ds = make_fnssl_trajectory_dataset(
-        src, T=args.T, num_source=args.num_source,
-        nb_points=args.nb_points, seed=args.seed)
+    if args.preset == "ipdnet":
+        ds = make_ipdnet_trajectory_dataset(
+            src, stage=args.stage, T=args.T,
+            num_source=tuple(range(1, args.num_source + 1)),
+            nb_points=args.nb_points)
+    else:
+        ds = make_fnssl_trajectory_dataset(
+            src, T=args.T, num_source=args.num_source,
+            nb_points=args.nb_points, seed=args.seed)
     generate(args.out, args.num, dataset=ds,
              log_every=max(args.num // 10, 1))
     print(f"wrote {args.num} scenes to {args.out}")
@@ -183,6 +197,9 @@ def cmd_fit(args):
     from fnssl_tpu.train.learner import Learner
     from fnssl_tpu.utils.logging import set_seed
 
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
     set_seed(args.seed)
     _snapshot_config(args)
     task = _make_task(args.model, args)

@@ -10,7 +10,9 @@ from fnssl_tpu.data.sources import LibriSpeechDataset, SyntheticSpeechDataset
 from fnssl_tpu.data.trajectory import RandomTrajectoryDataset
 from fnssl_tpu.data.segmenting import Segmenting
 from fnssl_tpu.data.fixed import FixTrajectoryDataset, collate_segmented
-from fnssl_tpu.data.simu import make_fnssl_trajectory_dataset, generate
+from fnssl_tpu.data.simu import (
+    make_fnssl_trajectory_dataset, make_ipdnet_trajectory_dataset,
+    generate)
 from fnssl_tpu.data.segments import (
     pad_segments, split_segments, merge_segments)
 from fnssl_tpu.data.locata import LocataDataset
