@@ -122,6 +122,43 @@ def pd_decode(pred_ipd: jax.Array, template: jax.Array,
     return DecodeResult(doa, vad, ss_full)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("max_num_sources", "source_num_mode"))
+def mse_decode(pred_ipd: jax.Array, template: jax.Array,
+               ele_candidate: jax.Array, azi_candidate: jax.Array,
+               max_num_sources: int = 1,
+               source_num_mode: str = "unkNum") -> DecodeResult:
+    """IPDnet2's decode variant (IPDnet2/Module.py:596-655): the spatial
+    spectrum is the per-grid-point MSE between prediction and template
+    (argmin instead of argmax), the detection score is that minimum MSE
+    (smaller = more confident — consumers divide by the reference's
+    0.2919 and threshold with an inverted comparator), and iterative
+    source removal subtracts the best template *unscaled*.
+    """
+    nb, nt, f, p = pred_ipd.shape
+    nele, nazi = template.shape[:2]
+    flat_t = template.reshape(nele * nazi, f * p)
+    residual = pred_ipd.reshape(nb, nt, f * p)
+    first_ss = None
+    doas, vads = [], []
+    for _ in range(max_num_sources):
+        diff = residual[:, :, None, :] - flat_t[None, None, :, :]
+        ss = jnp.mean(diff * diff, axis=-1)          # (nb, nt, G)
+        if first_ss is None:
+            first_ss = ss.reshape(nb, nt, nele, nazi)
+        idx = jnp.argmin(ss, axis=-1)
+        ele_i, azi_i = idx // nazi, idx % nazi
+        doas.append(jnp.stack([ele_candidate[ele_i],
+                               azi_candidate[azi_i]], axis=-1))
+        best = flat_t[idx]
+        mse = jnp.mean((best - residual) ** 2, axis=-1)
+        residual = residual - best
+        vads.append(jnp.ones_like(mse) if source_num_mode == "kNum"
+                    else mse)
+    return DecodeResult(jnp.stack(doas, axis=-1),
+                        jnp.stack(vads, axis=-1), first_ss)
+
+
 def time_pool_ipd(pred_ipd: jax.Array, pool: int) -> jax.Array:
     """(nb, nt, F, P) → (nb, nt//pool, F, P) mean pooling
     (Lightning/Module.py:727-734)."""

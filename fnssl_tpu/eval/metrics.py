@@ -72,13 +72,18 @@ def get_metric_single(doa_gt, vad_gt, doa_est, vad_est,
 def get_metric_multiple(doa_gt, vad_gt, doa_est, vad_est,
                         ae_mode=("azi",), ae_th: float = 30.0,
                         use_vad: bool = True,
-                        vad_th=(2 / 3, 0.2)) -> dict[str, float]:
+                        vad_th=(2 / 3, 0.2),
+                        invert_est_vad: bool = False) -> dict[str, float]:
     """Multi-source metrics with per-frame Hungarian matching
     (Module.py:184-283).
 
     Assignments whose azimuth error exceeds ae_th are invalidated; ACC is
     matched/active, MDR missed/active, FAR spurious/active, MAE/RMSE over
     matched pairs only.
+
+    ``invert_est_vad`` activates est sources with score *below* the
+    threshold — IPDnet2's MSE-based detection scores, where its getMetric
+    copy uses ``vad_est_one < vad_TH[1]`` (IPDnet2/Module.py:167).
     """
     doa_gt, doa_est = np.asarray(doa_gt), np.asarray(doa_est)
     nbatch = doa_est.shape[0]
@@ -98,7 +103,10 @@ def get_metric_multiple(doa_gt, vad_gt, doa_est, vad_est,
             v_est = np.ones((nt, ns_est), bool)
         else:
             v_gt = np.asarray(vad_gt[b]) > vad_th[0]
-            v_est = np.asarray(vad_est[b]) > vad_th[1]
+            if invert_est_vad:
+                v_est = np.asarray(vad_est[b]) < vad_th[1]
+            else:
+                v_est = np.asarray(vad_est[b]) > vad_th[1]
         k_gt = v_gt.sum(axis=1)
         # est VAD only counts in frames where any gt source is active
         v_est = v_est * (k_gt > 0)[:, None]

@@ -182,3 +182,32 @@ def test_multitrack_pred_doa(rng, tmp_path):
     assert metric["MAE"] == pytest.approx(0.0, abs=1e-4)
     import os
     assert os.path.exists(tmp_path / "3_doaest.npy")
+
+
+def test_mse_decode_recovers_and_scores(rng):
+    """IPDnet2 MSE decode: exact template → its grid DOA with score 0;
+    inverted-comparator metric path accepts low-MSE detections."""
+    from fnssl_tpu.eval import mse_decode
+
+    nele, nazi, f, p = 1, 73, 32, 1
+    tmpl = rng.standard_normal((nele, nazi, f, p)).astype(np.float32)
+    ele = np.full(1, np.pi / 2)
+    azi = np.linspace(-np.pi, np.pi, nazi)
+    idx = 50
+    pred = np.broadcast_to(tmpl[0, idx], (1, 4, f, p)).astype(np.float32)
+    res = mse_decode(jnp.asarray(pred), jnp.asarray(tmpl),
+                     jnp.asarray(ele), jnp.asarray(azi), 1, "unkNum")
+    np.testing.assert_allclose(np.asarray(res.doa[0, :, 1, 0]), azi[idx],
+                               atol=1e-6)
+    assert float(res.vad.max()) < 1e-8  # perfect match → MSE 0
+    # inverted-comparator metric: low score counts as active
+    gt = {"doa": np.degrees(np.stack(
+        [np.full((1, 4), np.pi / 2), np.full((1, 4), azi[idx])],
+        axis=2))[..., None],
+        "vad": np.ones((1, 4, 1))}
+    m = get_metric_multiple(gt["doa"], gt["vad"],
+                            np.degrees(np.asarray(res.doa)),
+                            np.asarray(res.vad) / 0.2919,
+                            ae_th=10, vad_th=(0.5, 0.4),
+                            invert_est_vad=True)
+    assert m["ACC"] == pytest.approx(1.0)
