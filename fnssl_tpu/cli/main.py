@@ -271,9 +271,9 @@ def cmd_test(args):
 def cmd_predict(args):
     import jax.numpy as jnp
 
-    from fnssl_tpu.eval import PredDOA
-    from fnssl_tpu.models.fnssl import fnssl_apply
+    from fnssl_tpu.eval import PredDOA, PredDOAMultiTrack
     from fnssl_tpu.train.learner import Learner
+    from fnssl_tpu.train.preprocess import stft_features
     from fnssl_tpu.utils.audio_io import read_audio
 
     task = _make_task(args.model)
@@ -286,18 +286,28 @@ def cmd_predict(args):
     sig, fs = read_audio(args.wav)
     if sig.ndim == 1:
         raise SystemExit("predict needs a multichannel wav")
-    from fnssl_tpu.train.preprocess import stft_features
-    feats = stft_features(jnp.asarray(sig[None].astype(np.float32)),
-                          ch_mode="MM")
-    pred = fnssl_apply(params, feats, cfg=task.cfg)
-    decoder = PredDOA()
-    result, _ = decoder.predgt2doa(pred)
+    x = jnp.asarray(sig[None].astype(np.float32))
+    if args.model == "ipdnet":
+        from fnssl_tpu.models.ipdnet import ipdnet_apply
+        feats = stft_features(x, ch_mode="none", sample_length=280)
+        pred = ipdnet_apply(params, feats, cfg=task.cfg)
+        decoder = PredDOAMultiTrack(task.dpipd.mic_location,
+                                    max_track=task.cfg.max_track)
+        result, _ = decoder.pred2doa(pred)
+    elif args.model.startswith("fnssl"):
+        from fnssl_tpu.models.fnssl import fnssl_apply
+        feats = stft_features(x, ch_mode="MM")
+        pred = fnssl_apply(params, feats, cfg=task.cfg)
+        result, _ = PredDOA().predgt2doa(pred)
+    else:
+        raise SystemExit(f"predict: model {args.model!r} not wired")
     os.makedirs(args.out, exist_ok=True)
     doa = np.degrees(np.asarray(result["doa"]))
     np.save(os.path.join(args.out, "doa_est.npy"), doa)
     np.save(os.path.join(args.out, "vad_est.npy"),
             np.asarray(result["vad_sources"]))
     print(json.dumps({"frames": int(doa.shape[1]),
+                      "tracks": int(doa.shape[-1]),
                       "azimuth_deg_first5": doa[0, :5, 1, 0].tolist(),
                       "out": args.out}))
     learner.close()
