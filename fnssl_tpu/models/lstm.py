@@ -89,6 +89,9 @@ def lstm(params: dict[str, jax.Array], x: jax.Array,
         zeros = jnp.zeros((ndir, b, hidden), x.dtype)
         state = LSTMState(zeros, zeros)
 
+    # NB a fused both-directions-per-step kernel was benchmarked and is
+    # 2.6x SLOWER than two sequential single-direction kernels (the
+    # doubled per-step DMA waits dominate); keep the two-pass design.
     out_f, (h_f, c_f) = _one_direction(
         x, params["weight_ih_l0"], params["weight_hh_l0"],
         params["bias_ih_l0"], params["bias_hh_l0"],
