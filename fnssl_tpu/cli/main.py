@@ -106,6 +106,8 @@ def _make_task(name: str, args=None):
         return tasks.make_fnssl_task(FNSSLConfig(is_doa=True))
     if name == "ipdnet":
         return tasks.make_ipdnet_task()
+    if name == "variable_ipdnet":
+        return tasks.make_variable_ipdnet_task()
     if name == "ipdnet2":
         mic = None
         if args is not None and getattr(args, "mic_ids", None):
@@ -126,6 +128,9 @@ def _init_params(name: str, task, seed: int):
     if name == "ipdnet":
         from fnssl_tpu.models.ipdnet import init_ipdnet_params
         return init_ipdnet_params(key, task.cfg)
+    if name == "variable_ipdnet":
+        from fnssl_tpu.models.ipdnet import init_variable_ipdnet_params
+        return init_variable_ipdnet_params(key, task.cfg)
     if name == "ipdnet2":
         from fnssl_tpu.models.spatialnet import init_spatialnet_params
         return init_spatialnet_params(key, task.cfg)
@@ -205,7 +210,8 @@ def cmd_fit(args):
     task = _make_task(args.model, args)
     params = _init_params(args.model, task, args.seed)
     defaults = {"fnssl": (1e-3, 0.8988), "fnssl_doa": (1e-3, 0.8988),
-                "ipdnet": (5e-4, 0.975), "ipdnet2": (5e-4, 0.975)}
+                "ipdnet": (5e-4, 0.975), "variable_ipdnet": (5e-4, 0.975),
+                "ipdnet2": (5e-4, 0.975)}
     lr, gamma = defaults[args.model]
     learner = Learner(
         task.loss_fn, params, optimizer="adamw"

@@ -120,6 +120,58 @@ def make_ipdnet_task(cfg=None, mic_location: np.ndarray | None = None,
     return IPDnetTask(loss_fn, preprocess, cfg, dpipd)
 
 
+def make_variable_ipdnet_task(cfg=None,
+                              mic_location: np.ndarray | None = None,
+                              nfft: int = 512, fs: int = 16000,
+                              speed: float = 340.0,
+                              vad_threshold: float = 0.001) -> IPDnetTask:
+    """Variable-array IPDnet task: mic pairs ride the batch axis, one
+    utterance per step (VariableArrayIPDnet.py:107-118 conventions), PIT
+    loss over the 2 tracks against all-pair ('MM') DP-IPD targets.
+
+    Batch contract: dict with 'mic_sig' (1, nsample, nch),
+    'doa' (1, nt2, 2, ns), 'vad' (1, nt2, ns). The pair count adapts to
+    nch (a new jit trace per array topology).
+    """
+    from fnssl_tpu.models.ipdnet import (
+        VariableIPDnetConfig, variable_ipdnet_apply)
+    from fnssl_tpu.physics.targets import bessel_nonsource_target
+    from fnssl_tpu.train.losses import pit_mse_loss
+    from fnssl_tpu.train.preprocess import make_ipdnet_preprocess
+
+    if mic_location is None:
+        mic_location = DUALCH_MIC_LOCATION
+    if cfg is None:
+        cfg = VariableIPDnetConfig()
+    dpipd = DPIPD(ndoa_candidate=[37, 73], mic_location=mic_location,
+                  nf=nfft // 2 + 1, fre_max=fs / 2, ch_mode="MM",
+                  speed=speed)
+    # non-source target per pair ('MM' pair distances)
+    from fnssl_tpu.core.pairs import pair_indices
+    from scipy.special import jn
+
+    first, second = pair_indices(mic_location.shape[0], "MM")
+    dist = np.linalg.norm(mic_location[second] - mic_location[first],
+                          axis=1)
+    omega = 2 * np.pi * np.linspace(0, fs / 2, nfft // 2 + 1) / speed
+    omega = omega[1:]
+    bes = np.stack([np.concatenate([jn(0, omega * d),
+                                    np.zeros_like(omega)]) for d in dist],
+                   axis=1).astype(np.float32)          # (2nf, P)
+    preprocess = make_ipdnet_preprocess(
+        dpipd, bes, ch_mode="MM", nfft=nfft,
+        vad_threshold=vad_threshold)
+
+    def loss_fn(params, batch, rng):
+        feats, gt = preprocess(batch["mic_sig"], batch["doa"], batch["vad"])
+        pred = variable_ipdnet_apply(params, feats, cfg=cfg, rng=rng,
+                                     training=rng is not None)
+        nt = min(pred.shape[1], gt["ipd"].shape[1])
+        return pit_mse_loss(pred[:, :nt], gt["ipd"][:, :nt])
+
+    return IPDnetTask(loss_fn, preprocess, cfg, dpipd)
+
+
 def make_ipdnet_offline_task(cfg=None,
                              mic_location: np.ndarray | None = None,
                              nfft: int = 512, fs: int = 16000,

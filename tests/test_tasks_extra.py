@@ -98,3 +98,21 @@ def test_lightning_ckpt_loading(tmp_path):
     assert flat_a.keys() == flat_b.keys()
     for k in flat_a:
         np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+
+def test_variable_ipdnet_task_trains():
+    from fnssl_tpu.models.ipdnet import init_variable_ipdnet_params
+    from fnssl_tpu.train.tasks import make_variable_ipdnet_task
+
+    mic = np.array([[-0.05, 0, 0], [0.0, 0, 0], [0.05, 0, 0]])
+    task = make_variable_ipdnet_task(mic_location=mic)
+    tx = make_optimizer("adam", 5e-4, 1.0, 1)
+    params = init_variable_ipdnet_params(jax.random.PRNGKey(0), task.cfg)
+    state = init_train_state(params, tx)
+    from fnssl_tpu.train import make_train_step
+    step = make_train_step(task.loss_fn, tx)
+    batch = synthetic_fnssl_batch(nb=1, t_s=0.25, nch=3, ns=2)
+    state, l0 = step(state, batch, None)
+    state, l1 = step(state, batch, None)
+    assert np.isfinite([float(l0), float(l1)]).all()
+    assert float(l1) < float(l0)
