@@ -44,18 +44,22 @@ def vad_mask_and_sum(ipd_ri: jax.Array, vad: jax.Array,
 
 def bessel_nonsource_target(mic_pos: np.ndarray, fre_used,
                             nf: int = 257, fre_max: float = 8000.0,
-                            speed: float = 340.0, order: int = 0
-                            ) -> np.ndarray:
+                            speed: float = 340.0, order: int = 0,
+                            ch_mode: str = "M") -> np.ndarray:
     """Silent-frame target: spherical diffuse coherence J0(2πf·d/c).
 
     Parity: IPDnet/runIPDnetOn.py:209-221 (including its speed=340 and the
-    zero imaginary half). mic distances are taken from mic 0 ('M' pairing).
+    zero imaginary half). Pair distances follow ``ch_mode`` ('M': from
+    mic 0; 'MM': all pairs).
 
     Returns:
-      (2·nf_used, nmic-1) float32.
+      (2·nf_used, P) float32.
     """
+    from fnssl_tpu.core.pairs import pair_indices
+
     mic_pos = np.asarray(mic_pos, np.float64)
-    dist = np.sqrt(np.sum((mic_pos[1:] - mic_pos[0]) ** 2, axis=1))
+    first, second = pair_indices(mic_pos.shape[0], ch_mode)
+    dist = np.linalg.norm(mic_pos[second] - mic_pos[first], axis=1)
     omega = 2.0 * np.pi * np.linspace(0.0, fre_max, nf) / speed
     omega = omega[fre_used]
     rows = []

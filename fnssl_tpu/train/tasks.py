@@ -146,20 +146,11 @@ def make_variable_ipdnet_task(cfg=None,
     dpipd = DPIPD(ndoa_candidate=[37, 73], mic_location=mic_location,
                   nf=nfft // 2 + 1, fre_max=fs / 2, ch_mode="MM",
                   speed=speed)
-    # non-source target per pair ('MM' pair distances)
-    from fnssl_tpu.core.pairs import pair_indices
-    from scipy.special import jn
-
-    first, second = pair_indices(mic_location.shape[0], "MM")
-    dist = np.linalg.norm(mic_location[second] - mic_location[first],
-                          axis=1)
-    omega = 2 * np.pi * np.linspace(0, fs / 2, nfft // 2 + 1) / speed
-    omega = omega[1:]
-    bes = np.stack([np.concatenate([jn(0, omega * d),
-                                    np.zeros_like(omega)]) for d in dist],
-                   axis=1).astype(np.float32)          # (2nf, P)
+    nonsource = bessel_nonsource_target(
+        mic_location, fre_used=slice(1, nfft // 2 + 1), nf=nfft // 2 + 1,
+        fre_max=fs / 2, speed=speed, ch_mode="MM")
     preprocess = make_ipdnet_preprocess(
-        dpipd, bes, ch_mode="MM", nfft=nfft,
+        dpipd, nonsource, ch_mode="MM", nfft=nfft,
         vad_threshold=vad_threshold)
 
     def loss_fn(params, batch, rng):
