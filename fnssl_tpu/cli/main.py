@@ -83,6 +83,17 @@ def build_parser():
     _add_common(p)
     p.add_argument("--wav", required=True)
     p.add_argument("--out", default="results/")
+
+    p = sub.add_parser("locata", help="evaluate on LOCATA recordings")
+    _add_common(p)
+    p.add_argument("--locata-dir", required=True)
+    p.add_argument("--tasks", default="3,5")
+    p.add_argument("--array", default="dicit")
+    p.add_argument("--mic-pick", default="8,5",
+                   help="2-mic channel pick (Learner.py:245)")
+    p.add_argument("--out", default="locata_result/")
+    p.add_argument("--ae-th", type=float, default=30.0)
+    p.add_argument("--plot", action="store_true")
     return ap
 
 
@@ -319,11 +330,71 @@ def cmd_predict(args):
     learner.close()
 
 
+def cmd_locata(args):
+    """LOCATA evaluation: per-task prediction, VAD-gated ACC/MAE, npy
+    dumps, optional 12-panel plot (Predict.py:91-104 flow)."""
+    import jax.numpy as jnp
+
+    from fnssl_tpu.data import Segmenting
+    from fnssl_tpu.data.arrays import dicit_array_setup
+    from fnssl_tpu.data.locata import LocataDataset
+    from fnssl_tpu.eval import PredDOA
+    from fnssl_tpu.models.fnssl import fnssl_apply
+    from fnssl_tpu.train.learner import Learner
+    from fnssl_tpu.train.preprocess import stft_features
+
+    task = _make_task(args.model)
+    params = _init_params(args.model, task, args.seed)
+    learner = Learner(task.loss_fn, params, log_dir=args.log_dir,
+                      seed=args.seed)
+    learner.resume()
+    params = learner.state.params
+
+    tasks = tuple(int(t) for t in args.tasks.split(","))
+    ds = LocataDataset(args.locata_dir, array=args.array, fs=16000,
+                       tasks=tasks, dev=True,
+                       transforms=[Segmenting()])
+    m1, m2 = (int(i) for i in args.mic_pick.split(","))
+    setup = dicit_array_setup()
+    decoder = PredDOA(mic_location=(setup.mic_pos[m1], setup.mic_pos[m2]))
+    os.makedirs(args.out, exist_ok=True)
+    metrics = []
+    for idx in range(len(ds)):
+        mic, gts = ds[idx]
+        sig2 = np.stack([mic[:, m1], mic[:, m2]], axis=1)
+        feats = stft_features(
+            jnp.asarray(sig2[None].astype(np.float32)), ch_mode="MM")
+        pred = fnssl_apply(params, feats, cfg=task.cfg)
+        result, _ = decoder.predgt2doa(pred)
+        nseg = min(gts["doa"].shape[0], np.asarray(result["doa"]).shape[1])
+        gt = {"doa": gts["doa"][None, :nseg],
+              "vad_sources": gts["vad_sources"].mean(axis=1)[None, :nseg]}
+        est = {"doa": np.asarray(result["doa"])[:, :nseg],
+               "vad_sources": np.asarray(result["vad_sources"])[:, :nseg]}
+        m = decoder.evaluate(est, gt, ae_th=args.ae_th,
+                             vad_th=(2 / 3, 0.2))
+        metrics.append(m)
+        np.save(os.path.join(args.out, f"{idx}_gt.npy"),
+                np.degrees(gt["doa"]))
+        np.save(os.path.join(args.out, f"{idx}_est.npy"),
+                np.degrees(est["doa"]))
+        np.save(os.path.join(args.out, f"{idx}_vadgt.npy"),
+                gt["vad_sources"])
+    summary = {k: float(np.mean([m[k] for m in metrics]))
+               for k in metrics[0]}
+    if args.plot:
+        from fnssl_tpu.eval import locata_plot
+        locata_plot(args.out + os.sep, args.out + os.sep,
+                    n_tasks=len(ds))
+    print(json.dumps({"recordings": len(ds), **summary}))
+    learner.close()
+
+
 def main(argv=None):
     ap = build_parser()
     args = _apply_yaml_defaults(ap, ap.parse_args(argv))
     {"simulate": cmd_simulate, "fit": cmd_fit, "test": cmd_test,
-     "predict": cmd_predict}[args.cmd](args)
+     "predict": cmd_predict, "locata": cmd_locata}[args.cmd](args)
 
 
 if __name__ == "__main__":
