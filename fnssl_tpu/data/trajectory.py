@@ -12,7 +12,7 @@ import numpy as np
 
 from fnssl_tpu.core.coords import cart2sph_np
 from fnssl_tpu.data.arrays import ArraySetup
-from fnssl_tpu.data.params import Parameter, as_parameter
+from fnssl_tpu.data.params import as_parameter
 from fnssl_tpu.data.scene import AcousticScene
 from fnssl_tpu.sim import beta_sabine_estimation
 

@@ -12,8 +12,6 @@ non_linear}.py with the reference's parameter shapes and semantics:
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 

@@ -21,8 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fnssl_tpu.core.norm import (
-    ForgettingNormState, forgetting_norm_streaming, init_state)
+from fnssl_tpu.core.norm import forgetting_norm_streaming, init_state
 from fnssl_tpu.core.pairs import num_pairs, pair_rebatch
 from fnssl_tpu.core.stft import stft
 

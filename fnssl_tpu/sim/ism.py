@@ -14,8 +14,6 @@ from __future__ import annotations
 import numpy as np
 from scipy.signal import fftconvolve
 
-from fnssl_tpu.sim.sabine import t2n
-
 
 def _dim_images(order: int):
     """(p, q) grids for one dimension → (n_img,) arrays."""
