@@ -106,8 +106,20 @@ def _conv_silu(params, x, cfg: MambaConfig, tail: jax.Array | None):
     return jax.nn.silu(jnp.swapaxes(out, 1, 2)), new_tail
 
 
-def mamba_apply(params, u: jax.Array, cfg: MambaConfig) -> jax.Array:
-    """Full-sequence forward. u: (B, L, d_model) → (B, L, d_model)."""
+def mamba_apply(params, u: jax.Array, cfg: MambaConfig,
+                use_associative: bool = False) -> jax.Array:
+    """Full-sequence forward. u: (B, L, d_model) → (B, L, d_model).
+
+    The default path is a sequential ``lax.scan`` over the diagonal SSM
+    recurrence — measured 4.6× faster than ``associative_scan`` on TPU at
+    IPDnet2's shapes (the log-depth scan re-reads the full (B,L,d,n)
+    tensor per pass and is HBM-bound). ``use_associative`` keeps the
+    O(log L)-depth variant for very long sequences.
+    """
+    if not use_associative:
+        out, _ = mamba_step(params, u, cfg,
+                            init_mamba_state(u.shape[0], cfg))
+        return out
     xz = u @ params["in_proj"]["weight"].T
     x, z = jnp.split(xz, 2, axis=-1)
     x, _ = _conv_silu(params, x, cfg, None)
