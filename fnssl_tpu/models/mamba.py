@@ -142,6 +142,48 @@ def init_mamba_state(batch: int, cfg: MambaConfig) -> MambaState:
         jnp.zeros((batch, cfg.d_inner, cfg.d_state), jnp.float32))
 
 
+def _ssm_scan_ref(da_t, dbx_t, c_t, h0):
+    """lax.scan SSM recurrence + fused C-contraction (gradient/CPU path).
+
+    da_t/dbx_t: (L, B, d, n); c_t: (L, B, n); h0: (B, d, n).
+    Returns y (L, B, d), h_last (B, d, n).
+    """
+    def step(h, inputs):
+        da, dbx, c = inputs
+        h = da * h + dbx
+        return h, jnp.sum(h * c[:, None, :], axis=-1)
+
+    h_last, ys = jax.lax.scan(step, h0, (da_t, dbx_t, c_t))
+    return ys, h_last
+
+
+@jax.custom_vjp
+def ssm_scan(da_t, dbx_t, c_t, h0):
+    """Selective-scan core: fused Pallas kernel on TPU, lax.scan
+    elsewhere; gradients recompute through the scan reference."""
+    from fnssl_tpu.kernels.lstm_pallas import pallas_available
+
+    if pallas_available():
+        from fnssl_tpu.kernels.mamba_pallas import selective_scan_pallas
+
+        y, h_last = selective_scan_pallas(da_t, dbx_t, c_t,
+                                          h0.astype(jnp.float32))
+        return y.astype(da_t.dtype), h_last.astype(h0.dtype)
+    return _ssm_scan_ref(da_t, dbx_t, c_t, h0)
+
+
+def _ssm_fwd(*args):
+    return ssm_scan(*args), args
+
+
+def _ssm_bwd(residuals, grads):
+    _, vjp = jax.vjp(_ssm_scan_ref, *residuals)
+    return vjp(grads)
+
+
+ssm_scan.defvjp(_ssm_fwd, _ssm_bwd)
+
+
 def mamba_step(params, u: jax.Array, cfg: MambaConfig,
                state: MambaState) -> tuple[jax.Array, MambaState]:
     """Streaming chunk forward with carry. u: (B, L, d_model)."""
@@ -150,15 +192,10 @@ def mamba_step(params, u: jax.Array, cfg: MambaConfig,
     x, conv_tail = _conv_silu(params, x, cfg, state.conv)
     delta_a, delta_bx, c = _ssm_inputs(params, x, cfg)
 
-    def step(h, inputs):
-        da, dbx = inputs
-        h = da * h + dbx
-        return h, h
-
     da_t = jnp.swapaxes(delta_a, 0, 1)    # (L, B, d, n)
     dbx_t = jnp.swapaxes(delta_bx, 0, 1)
-    h_last, hs = jax.lax.scan(step, state.ssm, (da_t, dbx_t))
-    h = jnp.swapaxes(hs, 0, 1)            # (B, L, d, n)
-    y = jnp.einsum("bldn,bln->bld", h, c) + params["D"] * x
+    c_t = jnp.swapaxes(c, 0, 1)           # (L, B, n)
+    ys, h_last = ssm_scan(da_t, dbx_t, c_t, state.ssm)
+    y = jnp.swapaxes(ys, 0, 1) + params["D"] * x
     y = y * jax.nn.silu(z)
     return y @ params["out_proj"]["weight"].T, MambaState(conv_tail, h_last)
