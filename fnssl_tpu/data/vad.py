@@ -27,10 +27,16 @@ def frame_vad(signal: np.ndarray, fs: int, aggressiveness: int = 3,
     n = len(signal) // flen
     if n == 0:
         return np.zeros_like(signal)
+    margin = _AGGRESSIVENESS_DB.get(aggressiveness, 6.0)
+    from fnssl_tpu.sim import native
+    if native.vad_available():
+        out = np.zeros_like(signal)
+        out[: n * flen] = native.frame_vad_native(
+            signal[: n * flen], flen, margin).astype(signal.dtype)
+        return out
     frames = signal[: n * flen].reshape(n, flen)
     energy_db = 10.0 * np.log10(np.mean(frames ** 2, axis=1) + 1e-12)
     floor = np.percentile(energy_db, 5.0)
-    margin = _AGGRESSIVENESS_DB.get(aggressiveness, 6.0)
     active = energy_db > floor + margin
     out = np.zeros_like(signal)
     out[: n * flen] = np.repeat(active.astype(signal.dtype), flen)

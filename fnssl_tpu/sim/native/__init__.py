@@ -77,3 +77,48 @@ def simulate_rir_native(room_sz, beta, src_pos, mic_pos, nb_img,
     lib.simulate_rir_native(room, beta, src, mic, orders,
                             npts, nch, nsamp, float(fs), float(c), out)
     return out
+
+
+_vad_lib = None
+_vad_tried = False
+_VAD_PATH = os.path.join(_DIR, "libvad.so")
+
+
+def _load_vad():
+    global _vad_lib, _vad_tried
+    if _vad_lib is not None or _vad_tried:
+        return _vad_lib
+    _vad_tried = True
+    if not os.path.exists(_VAD_PATH):
+        try:
+            subprocess.run(["make", "-C", _DIR, "libvad.so"], check=True,
+                           capture_output=True, timeout=300)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_VAD_PATH)
+    except OSError:
+        return None
+    lib.frame_vad_native.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C"),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_double,
+        np.ctypeslib.ndpointer(np.float32, flags="C"),
+    ]
+    lib.frame_vad_native.restype = None
+    _vad_lib = lib
+    return _vad_lib
+
+
+def vad_available() -> bool:
+    return _load_vad() is not None
+
+
+def frame_vad_native(signal, frame_len: int, margin_db: float):
+    """C++ drop-in for the energy-ladder frame VAD core."""
+    lib = _load_vad()
+    if lib is None:
+        raise RuntimeError("native VAD library unavailable")
+    sig = np.ascontiguousarray(signal, np.float32)
+    out = np.zeros(len(sig), np.float32)
+    lib.frame_vad_native(sig, len(sig), frame_len, float(margin_db), out)
+    return out

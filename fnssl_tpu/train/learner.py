@@ -118,22 +118,55 @@ class Learner:
             epochs: int = 100) -> dict:
         """Full training: per-epoch train + validate + checkpoint + early
         stop. ``*_batches_fn(epoch)`` returns that epoch's batch iterable
-        (deterministic per-epoch shuffling hooks in here)."""
+        (deterministic per-epoch shuffling hooks in here).
+
+        Preemption-safe (SURVEY §5.3): SIGTERM/SIGINT request a graceful
+        stop at the next epoch boundary, where the state is checkpointed
+        so ``resume()`` continues exactly — the reference has no
+        preemption story beyond manual --ckpt_path resume.
+        """
+        import signal
+
+        interrupted = {"flag": False}
+
+        def _request_stop(signum, frame):
+            print(f"signal {signum}: checkpointing at epoch boundary")
+            interrupted["flag"] = True
+
+        prev = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # non-main thread
+                pass
+
         history = {"train": [], "valid": []}
-        while self.epoch < epochs:
-            train_loss = self.train_epoch(train_batches_fn(self.epoch))
-            valid = self.eval_epoch(valid_batches_fn(self.epoch))
-            history["train"].append(train_loss)
-            history["valid"].append(valid["loss"])
-            self.ckpt.save(self.epoch, self.state, valid["loss"])
-            stop = self.early_stopping.update(valid["loss"])
-            print(f"epoch {self.epoch}: train {train_loss:.5f} "
-                  f"valid {valid['loss']:.5f}"
-                  + (" [early stop]" if stop else ""))
-            self.epoch += 1
-            if stop:
-                break
+        try:
+            while self.epoch < epochs:
+                train_loss = self.train_epoch(train_batches_fn(self.epoch))
+                valid = self.eval_epoch(valid_batches_fn(self.epoch))
+                history["train"].append(train_loss)
+                history["valid"].append(valid["loss"])
+                self.ckpt.save(self.epoch, self.state, valid["loss"])
+                stop = self.early_stopping.update(valid["loss"])
+                print(f"epoch {self.epoch}: train {train_loss:.5f} "
+                      f"valid {valid['loss']:.5f}"
+                      + (" [early stop]" if stop else ""))
+                self.epoch += 1
+                if stop or interrupted["flag"]:
+                    break
+        finally:
+            for sig, handler in prev.items():
+                signal.signal(sig, handler)
         return history
+
+    def write_flops(self, apply_fn, example, **kw):
+        """FLOPs.yaml into the run dir (the reference's on_train_start
+        write_FLOPs hook, Lightning/main.py:146-147)."""
+        from fnssl_tpu.utils.flops import write_flops
+
+        return write_flops(apply_fn, self.state.params, example,
+                           self.logger.log_dir, **kw)
 
     def test(self, batches: Iterable) -> dict[str, float]:
         return self.eval_epoch(batches, split="test")

@@ -136,3 +136,26 @@ def test_simulated_doa_matches_gcc_delay():
     # so sig1 leads by baseline·cos(azi)/c → negative correlation lag
     expected_tau = -0.08 * np.cos(azi) / 343.0 * fs
     assert abs(lag - expected_tau) <= 1.5, (lag, expected_tau)
+
+
+def test_native_vad_matches_numpy(rng):
+    from fnssl_tpu.data.vad import frame_vad
+    from fnssl_tpu.sim import native
+
+    if not native.vad_available():
+        import pytest
+        pytest.skip("no compiler for native VAD")
+    sig = (rng.standard_normal(16000) *
+           np.repeat(rng.random(100) > 0.5, 160)).astype(np.float64)
+    got = frame_vad(sig, 16000, aggressiveness=2)        # native path
+    # numpy reference computed inline (float64)
+    flen = 160
+    n = len(sig) // flen
+    frames = sig[: n * flen].reshape(n, flen)
+    e = 10 * np.log10(np.mean(frames ** 2, axis=1) + 1e-12)
+    expected = np.repeat(
+        (e > np.percentile(e, 5.0) + 6.0).astype(float), flen)
+    # float32 energies in the native core may flip threshold-grazing
+    # frames; require ≥99% agreement
+    agree = np.mean(got[: n * flen] == expected)
+    assert agree > 0.99, agree
