@@ -48,8 +48,17 @@ def main():
 
     fwd = jax.jit(lambda p, x: fnssl_apply(p, x, cfg=cfg))
     # compile + warmup; a value fetch (not just block_until_ready) is
-    # required on the axon-tunneled platform to guarantee completion
-    np.asarray(fwd(params, x)[0, 0, 0], np.float32)
+    # required on the axon-tunneled platform to guarantee completion.
+    # The remote compile helper is flaky — retry a few times.
+    import time as _time
+    for attempt in range(5):
+        try:
+            np.asarray(fwd(params, x)[0, 0, 0], np.float32)
+            break
+        except Exception:
+            if attempt == 4:
+                raise
+            _time.sleep(20)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, x)

@@ -272,6 +272,19 @@ def cmd_test(args):
             pred = fnssl_apply(p, feats, cfg=task.cfg)
             gtd = {"doa": batch["doa"], "vad_sources": batch["vad"]}
             return pred_doa(pred, gtd)
+    elif args.model == "ipdnet":
+        from fnssl_tpu.eval import PredDOAMultiTrack
+        from fnssl_tpu.models.ipdnet import ipdnet_apply
+        mt = PredDOAMultiTrack(task.dpipd.mic_location,
+                               max_track=task.cfg.max_track)
+
+        def metric_fn(p, batch):
+            feats, gt = task.preprocess(batch["mic_sig"], batch["doa"],
+                                        batch["vad"])
+            pred = ipdnet_apply(p, feats, cfg=task.cfg)
+            gtd = {"doa": np.asarray(batch["doa"]),
+                   "vad_sources": np.asarray(batch["vad"])}
+            return mt(pred, gtd, vad_th=(0.001, 0.5))
 
     learner = Learner(task.loss_fn, params, log_dir=args.log_dir,
                       metric_fn=metric_fn, seed=args.seed)
