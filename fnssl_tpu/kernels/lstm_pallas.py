@@ -33,6 +33,13 @@ except ImportError:  # pragma: no cover
 
 
 def pallas_available() -> bool:
+    """Pallas dispatch gate. Set FNSSL_TPU_DISABLE_PALLAS=1 to force the
+    lax.scan paths (e.g. when a remote compile service cannot build
+    Mosaic kernels); numerics are identical either way."""
+    import os
+
+    if os.environ.get("FNSSL_TPU_DISABLE_PALLAS"):
+        return False
     return _PALLAS and jax.default_backend() == "tpu"
 
 
@@ -173,6 +180,10 @@ def _scan_reference(x, w_ih, w_hh, bias, h0, c0, reverse: bool):
     xg = x @ w_ih.T + bias
     xg = jnp.swapaxes(xg, 0, 1)
     w_hh_t = w_hh.T
+    # f32 recurrence regardless of the input dtype (matches the Pallas
+    # kernel's accumulation; also keeps the scan carry type stable when
+    # h0/c0 arrive in bf16)
+    carry0 = (h0.astype(jnp.float32), c0.astype(jnp.float32))
 
     def step(carry, xg_t):
         h, c = carry
@@ -182,8 +193,9 @@ def _scan_reference(x, w_ih, w_hh, bias, h0, c0, reverse: bool):
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h.astype(x.dtype)
 
-    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), xg, reverse=reverse)
-    return jnp.swapaxes(ys, 0, 1), h_t, c_t
+    (h_t, c_t), ys = jax.lax.scan(step, carry0, xg, reverse=reverse)
+    return (jnp.swapaxes(ys, 0, 1), h_t.astype(h0.dtype),
+            c_t.astype(c0.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
