@@ -32,18 +32,30 @@ def make_fnssl_task(cfg: FNSSLConfig = FNSSLConfig(),
                     mic_location: np.ndarray = DUALCH_MIC_LOCATION,
                     ch_mode: str = "MM", nfft: int = 512,
                     fs: int = 16000, speed: float = 340.0,
-                    res_the: int = 37, res_phi: int = 73) -> FNSSLTask:
+                    res_the: int = 37, res_phi: int = 73,
+                    remat: bool = False) -> FNSSLTask:
     """FN-SSL DP-IPD regression task (the flagship model).
 
     Batch contract: dict with
       'mic_sig' (nb, nsample, nch) float32,
       'doa' (nb, nt2, 2, ns) radians,
       'vad' (nb, nt2, ns) soft VAD at the output frame rate.
+
+    ``remat`` wraps the model apply in ``jax.checkpoint`` — trades one
+    extra forward for a much smaller backward program/activation memory
+    (and sidesteps compile-service size limits on some backends).
     """
+    import jax as _jax
+
     dpipd = DPIPD(ndoa_candidate=[res_the, res_phi],
                   mic_location=mic_location, nf=nfft // 2 + 1,
                   fre_max=fs / 2, ch_mode=ch_mode, speed=speed)
     preprocess = make_fnssl_preprocess(dpipd, ch_mode=ch_mode, nfft=nfft)
+    apply_fn = fnssl_apply
+    if remat:
+        def apply_fn(p, x, **kw):
+            return _jax.checkpoint(
+                lambda p_, x_: fnssl_apply(p_, x_, **kw))(p, x)
 
     if cfg.is_doa:
         # azimuth-classification head: CE on integer-degree classes
@@ -55,8 +67,8 @@ def make_fnssl_task(cfg: FNSSLConfig = FNSSLConfig(),
         def loss_fn(params, batch, rng):
             feats, _ = preprocess(batch["mic_sig"], batch["doa"],
                                   batch["vad"])
-            pred = fnssl_apply(params, feats, cfg=cfg, rng=rng,
-                               training=rng is not None)
+            pred = apply_fn(params, feats, cfg=cfg, rng=rng,
+                            training=rng is not None)
             azi_deg = batch["doa"][:, :, 1, 0] * (180.0 / jnp.pi)
             labels = jnp.clip(azi_deg.astype(jnp.int32), 0, 179)
             return ce_doa_loss(pred, labels)
@@ -64,8 +76,8 @@ def make_fnssl_task(cfg: FNSSLConfig = FNSSLConfig(),
         def loss_fn(params, batch, rng):
             feats, gt = preprocess(batch["mic_sig"], batch["doa"],
                                    batch["vad"])
-            pred = fnssl_apply(params, feats, cfg=cfg, rng=rng,
-                               training=rng is not None)
+            pred = apply_fn(params, feats, cfg=cfg, rng=rng,
+                            training=rng is not None)
             return mse_ipd_loss(pred, gt["ipd"],
                                 nb=batch["mic_sig"].shape[0])
 
