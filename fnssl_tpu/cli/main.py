@@ -38,6 +38,9 @@ def _add_common(p):
                    help="shard batches over all local devices (DP)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax debug_nans (SURVEY §5.2 equivalent)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the model in the backward pass "
+                        "(less memory, smaller compiled program)")
 
 
 def build_parser():
@@ -111,10 +114,12 @@ def _make_task(name: str, args=None):
     from fnssl_tpu.models.fnssl import FNSSLConfig
     from fnssl_tpu.train import tasks
 
+    remat = bool(getattr(args, "remat", False)) if args else False
     if name == "fnssl":
-        return tasks.make_fnssl_task(FNSSLConfig())
+        return tasks.make_fnssl_task(FNSSLConfig(), remat=remat)
     if name == "fnssl_doa":
-        return tasks.make_fnssl_task(FNSSLConfig(is_doa=True))
+        return tasks.make_fnssl_task(FNSSLConfig(is_doa=True),
+                                     remat=remat)
     if name == "ipdnet":
         return tasks.make_ipdnet_task()
     if name == "variable_ipdnet":

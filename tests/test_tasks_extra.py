@@ -116,3 +116,20 @@ def test_variable_ipdnet_task_trains():
     state, l1 = step(state, batch, None)
     assert np.isfinite([float(l0), float(l1)]).all()
     assert float(l1) < float(l0)
+
+
+def test_fnssl_remat_task_matches_plain():
+    """remat=True computes identical losses/gradients (just recomputed)."""
+    cfg = FNSSLConfig()
+    plain = make_fnssl_task(cfg)
+    remat = make_fnssl_task(cfg, remat=True)
+    params = init_fnssl_params(jax.random.PRNGKey(0), cfg)
+    batch = synthetic_fnssl_batch(nb=1, t_s=0.25)
+    l1 = float(plain.loss_fn(params, batch, None))
+    l2 = float(remat.loss_fn(params, batch, None))
+    assert l1 == l2
+    g1 = jax.grad(lambda p: plain.loss_fn(p, batch, None))(params)
+    g2 = jax.grad(lambda p: remat.loss_fn(p, batch, None))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
