@@ -121,7 +121,7 @@ def _make_task(name: str, args=None):
         return tasks.make_fnssl_task(FNSSLConfig(is_doa=True),
                                      remat=remat)
     if name == "ipdnet":
-        return tasks.make_ipdnet_task()
+        return tasks.make_ipdnet_task(remat=remat)
     if name == "variable_ipdnet":
         return tasks.make_variable_ipdnet_task()
     if name == "ipdnet2":

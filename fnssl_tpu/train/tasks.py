@@ -94,7 +94,8 @@ class IPDnetTask(NamedTuple):
 def make_ipdnet_task(cfg=None, mic_location: np.ndarray | None = None,
                      nfft: int = 512, fs: int = 16000,
                      speed: float = 340.0, max_track: int = 2,
-                     vad_threshold: float = 0.001) -> IPDnetTask:
+                     vad_threshold: float = 0.001,
+                     remat: bool = False) -> IPDnetTask:
     """IPDnet multi-track DP-IPD task with frame-level PIT loss
     (runIPDnetOn.py:80-301).
 
@@ -122,11 +123,18 @@ def make_ipdnet_task(cfg=None, mic_location: np.ndarray | None = None,
     preprocess = make_ipdnet_preprocess(
         dpipd, nonsource, ch_mode="none", nfft=nfft,
         vad_threshold=vad_threshold)
+    apply_fn = ipdnet_apply
+    if remat:
+        import jax as _jax
+
+        def apply_fn(p, x, **kw):
+            return _jax.checkpoint(
+                lambda p_, x_: ipdnet_apply(p_, x_, **kw))(p, x)
 
     def loss_fn(params, batch, rng):
         feats, gt = preprocess(batch["mic_sig"], batch["doa"], batch["vad"])
-        pred = ipdnet_apply(params, feats, cfg=cfg, rng=rng,
-                            training=rng is not None)
+        pred = apply_fn(params, feats, cfg=cfg, rng=rng,
+                        training=rng is not None)
         return pit_mse_loss(pred, gt["ipd"])
 
     return IPDnetTask(loss_fn, preprocess, cfg, dpipd)
