@@ -41,6 +41,11 @@ def _add_common(p):
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the model in the backward pass "
                         "(less memory, smaller compiled program)")
+    p.add_argument("--precision", default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="compute precision policy: bf16 = mixed precision "
+                        "(params fp32, model compute bf16, loss/grads "
+                        "fp32 — the reference's AMP, Learner.py:109-115)")
 
 
 def build_parser():
@@ -115,22 +120,23 @@ def _make_task(name: str, args=None):
     from fnssl_tpu.train import tasks
 
     remat = bool(getattr(args, "remat", False)) if args else False
+    precision = getattr(args, "precision", "fp32") if args else "fp32"
+    pol = {"remat": remat, "precision": precision}
     if name == "fnssl":
-        return tasks.make_fnssl_task(FNSSLConfig(), remat=remat)
+        return tasks.make_fnssl_task(FNSSLConfig(), **pol)
     if name == "fnssl_doa":
-        return tasks.make_fnssl_task(FNSSLConfig(is_doa=True),
-                                     remat=remat)
+        return tasks.make_fnssl_task(FNSSLConfig(is_doa=True), **pol)
     if name == "ipdnet":
-        return tasks.make_ipdnet_task(remat=remat)
+        return tasks.make_ipdnet_task(**pol)
     if name == "variable_ipdnet":
-        return tasks.make_variable_ipdnet_task()
+        return tasks.make_variable_ipdnet_task(**pol)
     if name == "ipdnet2":
         mic = None
         if args is not None and getattr(args, "mic_ids", None):
             from fnssl_tpu.data.arrays import audiowu_high_array_geometry
             ids = [int(i) for i in args.mic_ids.split(",")]
             mic = audiowu_high_array_geometry()[ids]
-        return tasks.make_ipdnet2_task(mic_location=mic)
+        return tasks.make_ipdnet2_task(mic_location=mic, **pol)
     raise SystemExit(f"model {name!r} has no CLI task wiring yet")
 
 

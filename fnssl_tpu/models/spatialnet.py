@@ -300,7 +300,9 @@ def _mamba_block(norm_p, mamba_p, x, cfg, state: MambaState | None):
         new_state = None
     else:
         y, new_state = mamba_step(mamba_p, y, cfg.mamba_cfg, state)
-    return y.reshape(nb, f, t, h), new_state
+    # the ssm scan runs fp32 internally; keep the residual stream in the
+    # compute dtype (bf16 under the mixed-precision policy)
+    return y.astype(x.dtype).reshape(nb, f, t, h), new_state
 
 
 def get_causal_mask(cfg: SpatialNetConfig, slen: int):

@@ -28,12 +28,30 @@ class FNSSLTask(NamedTuple):
     dpipd: DPIPD
 
 
+def _wrap_apply(apply_base, remat: bool = False, precision: str = "fp32"):
+    """Compose the remat (jax.checkpoint) and compute-precision policies
+    around a model apply. Precision goes outermost so rematerialized
+    activations are stored in bf16 too."""
+    from fnssl_tpu.train.precision import wrap_apply
+
+    fn = apply_base
+    if remat:
+        import jax as _jax
+
+        def fn(p, x, **kw):  # noqa: F811
+            return _jax.checkpoint(
+                lambda p_, x_: apply_base(p_, x_, **kw))(p, x)
+
+    return wrap_apply(fn, precision)
+
+
 def make_fnssl_task(cfg: FNSSLConfig = FNSSLConfig(),
                     mic_location: np.ndarray = DUALCH_MIC_LOCATION,
                     ch_mode: str = "MM", nfft: int = 512,
                     fs: int = 16000, speed: float = 340.0,
                     res_the: int = 37, res_phi: int = 73,
-                    remat: bool = False) -> FNSSLTask:
+                    remat: bool = False,
+                    precision: str = "fp32") -> FNSSLTask:
     """FN-SSL DP-IPD regression task (the flagship model).
 
     Batch contract: dict with
@@ -44,18 +62,14 @@ def make_fnssl_task(cfg: FNSSLConfig = FNSSLConfig(),
     ``remat`` wraps the model apply in ``jax.checkpoint`` — trades one
     extra forward for a much smaller backward program/activation memory
     (and sidesteps compile-service size limits on some backends).
+    ``precision='bf16'`` enables the mixed-precision compute policy
+    (train/precision.py — the reference's AMP analogue, Learner.py:109-115).
     """
-    import jax as _jax
-
     dpipd = DPIPD(ndoa_candidate=[res_the, res_phi],
                   mic_location=mic_location, nf=nfft // 2 + 1,
                   fre_max=fs / 2, ch_mode=ch_mode, speed=speed)
     preprocess = make_fnssl_preprocess(dpipd, ch_mode=ch_mode, nfft=nfft)
-    apply_fn = fnssl_apply
-    if remat:
-        def apply_fn(p, x, **kw):
-            return _jax.checkpoint(
-                lambda p_, x_: fnssl_apply(p_, x_, **kw))(p, x)
+    apply_fn = _wrap_apply(fnssl_apply, remat, precision)
 
     if cfg.is_doa:
         # azimuth-classification head: CE on integer-degree classes
@@ -95,7 +109,8 @@ def make_ipdnet_task(cfg=None, mic_location: np.ndarray | None = None,
                      nfft: int = 512, fs: int = 16000,
                      speed: float = 340.0, max_track: int = 2,
                      vad_threshold: float = 0.001,
-                     remat: bool = False) -> IPDnetTask:
+                     remat: bool = False,
+                     precision: str = "fp32") -> IPDnetTask:
     """IPDnet multi-track DP-IPD task with frame-level PIT loss
     (runIPDnetOn.py:80-301).
 
@@ -123,13 +138,7 @@ def make_ipdnet_task(cfg=None, mic_location: np.ndarray | None = None,
     preprocess = make_ipdnet_preprocess(
         dpipd, nonsource, ch_mode="none", nfft=nfft,
         vad_threshold=vad_threshold)
-    apply_fn = ipdnet_apply
-    if remat:
-        import jax as _jax
-
-        def apply_fn(p, x, **kw):
-            return _jax.checkpoint(
-                lambda p_, x_: ipdnet_apply(p_, x_, **kw))(p, x)
+    apply_fn = _wrap_apply(ipdnet_apply, remat, precision)
 
     def loss_fn(params, batch, rng):
         feats, gt = preprocess(batch["mic_sig"], batch["doa"], batch["vad"])
@@ -144,7 +153,9 @@ def make_variable_ipdnet_task(cfg=None,
                               mic_location: np.ndarray | None = None,
                               nfft: int = 512, fs: int = 16000,
                               speed: float = 340.0,
-                              vad_threshold: float = 0.001) -> IPDnetTask:
+                              vad_threshold: float = 0.001,
+                              remat: bool = False,
+                              precision: str = "fp32") -> IPDnetTask:
     """Variable-array IPDnet task: mic pairs ride the batch axis, one
     utterance per step (VariableArrayIPDnet.py:107-118 conventions), PIT
     loss over the 2 tracks against all-pair ('MM') DP-IPD targets.
@@ -173,10 +184,12 @@ def make_variable_ipdnet_task(cfg=None,
         dpipd, nonsource, ch_mode="MM", nfft=nfft,
         vad_threshold=vad_threshold)
 
+    apply_fn = _wrap_apply(variable_ipdnet_apply, remat, precision)
+
     def loss_fn(params, batch, rng):
         feats, gt = preprocess(batch["mic_sig"], batch["doa"], batch["vad"])
-        pred = variable_ipdnet_apply(params, feats, cfg=cfg, rng=rng,
-                                     training=rng is not None)
+        pred = apply_fn(params, feats, cfg=cfg, rng=rng,
+                        training=rng is not None)
         nt = min(pred.shape[1], gt["ipd"].shape[1])
         return pit_mse_loss(pred[:, :nt], gt["ipd"][:, :nt])
 
@@ -187,7 +200,9 @@ def make_ipdnet_offline_task(cfg=None,
                              mic_location: np.ndarray | None = None,
                              nfft: int = 512, fs: int = 16000,
                              speed: float = 340.0, max_track: int = 2,
-                             vad_threshold: float = 0.001) -> IPDnetTask:
+                             vad_threshold: float = 0.001,
+                             remat: bool = False,
+                             precision: str = "fp32") -> IPDnetTask:
     """Offline IPDnet variant (runIPDnetOff.py:79-303): bidirectional
     narrow LSTMs, *global* magnitude normalization instead of the
     forgetting norm, and chunked offline inference at test time.
@@ -222,10 +237,12 @@ def make_ipdnet_offline_task(cfg=None,
         _, gt = base(mic_sig, doa, vad)
         return feats, gt
 
+    apply_fn = _wrap_apply(ipdnet_apply, remat, precision)
+
     def loss_fn(params, batch, rng):
         feats, gt = preprocess(batch["mic_sig"], batch["doa"], batch["vad"])
-        pred = ipdnet_apply(params, feats, cfg=cfg, rng=rng,
-                            training=rng is not None)
+        pred = apply_fn(params, feats, cfg=cfg, rng=rng,
+                        training=rng is not None)
         return pit_mse_loss(pred, gt["ipd"])
 
     return IPDnetTask(loss_fn, preprocess, cfg, dpipd)
@@ -233,7 +250,8 @@ def make_ipdnet_offline_task(cfg=None,
 
 def make_ipdnet2_task(cfg=None, mic_location: np.ndarray | None = None,
                       nfft: int = 512, fs: int = 16000,
-                      speed: float = 340.0):
+                      speed: float = 340.0, remat: bool = False,
+                      precision: str = "fp32"):
     """IPDnet2/OnlineSpatialNet near-field task (run_IPDnet2.py:82-339):
     STFT center=True hop 0.625, forgetting-norm L=249, per-batch array
     topology near-field DP-IPD targets (DPIPD2), Bessel non-source fill,
@@ -291,11 +309,13 @@ def make_ipdnet2_task(cfg=None, mic_location: np.ndarray | None = None,
                                          threshold=0.0)
         return feats, {"ipd": gt_ipd}
 
+    apply_fn = _wrap_apply(spatialnet_apply, remat, precision)
+
     def loss_fn(params, batch, rng):
         feats, gt = preprocess(batch["mic_sig"], batch["azi_deg"],
                                batch["distance"], batch["vad"],
                                batch["mic_pos"])
-        pred = spatialnet_apply(params, feats, cfg=cfg)
+        pred = apply_fn(params, feats, cfg=cfg)
         # reconcile pred/gt frame counts (run_IPDnet2.py:183-189)
         nt = min(pred.shape[1], gt["ipd"].shape[1])
         return pit_mse_loss(pred[:, :nt], gt["ipd"][:, :nt])
