@@ -75,6 +75,10 @@ def build_parser():
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--early-stop-patience", type=int, default=10,
+                   help="epochs without valid/loss improvement before "
+                        "stopping (Lightning/main.py:290-296); 0 disables")
+    p.add_argument("--early-stop-min-delta", type=float, default=0.01)
     p.add_argument("--realman-csv", default=None,
                    help="RealMAN targets CSV (ipdnet2)")
     p.add_argument("--realman-noise", default=None,
@@ -221,7 +225,7 @@ def _snapshot_config(args):
 
 
 def cmd_fit(args):
-    from fnssl_tpu.train.learner import Learner
+    from fnssl_tpu.train.learner import EarlyStopping, Learner
     from fnssl_tpu.utils.logging import set_seed
 
     if args.debug_nans:
@@ -240,7 +244,9 @@ def cmd_fit(args):
         if args.model == "ipdnet2" else "adam",
         lr=args.lr or lr, lr_gamma=gamma,
         grad_clip=5.0 if args.model == "ipdnet2" else None,
-        log_dir=args.log_dir, use_mesh=args.use_mesh, seed=args.seed)
+        log_dir=args.log_dir, use_mesh=args.use_mesh, seed=args.seed,
+        early_stopping=EarlyStopping(args.early_stop_patience,
+                                     args.early_stop_min_delta))
     if args.resume:
         learner.resume()
     if args.model == "ipdnet2":

@@ -110,11 +110,35 @@ def _lstm_kernel(xg_hbm, whh_ref, h0_ref, c0_ref, out_hbm, hT_ref, cT_ref,
     cT_ref[:] = c_scr[:]
 
 
-def _auto_block_b(hidden: int) -> int:
-    """Largest batch tile fitting the ~16 MB VMEM budget (empirical:
-    block·H ≤ 128k elements keeps scratch+pipelining under the limit;
-    bigger tiles mean bigger per-step MXU matmuls)."""
-    return max(128, min(1024, (131072 // hidden) // 128 * 128))
+_VMEM_BUDGET = 12 * 1024 * 1024  # headroom under the ~16 MB/core VMEM
+
+
+def _vmem_bytes(block_b: int, hidden: int, itemsize: int) -> int:
+    """Estimate of the kernel's per-program VMEM footprint: the resident
+    w_hh tile, the f32 state refs/scratch (block-mapped refs counted
+    twice for Mosaic's pipeline double-buffering), and the xg/out DMA
+    double buffers."""
+    four_h = 4 * hidden
+    per_b = (4 * hidden * 4 * 2      # h0/c0/hT/cT f32, ×2 pipeline bufs
+             + 2 * hidden * 4        # h/c scratch f32
+             + 2 * four_h * itemsize  # xg double buffer
+             + 2 * hidden * itemsize)  # out double buffer
+    return hidden * four_h * itemsize + block_b * per_b
+
+
+def _auto_block_b(hidden: int, itemsize: int = 2) -> int | None:
+    """Largest batch tile fitting the VMEM budget (empirical start:
+    block·H ≤ 128k elements; bigger tiles mean bigger per-step MXU
+    matmuls). Shrinks for hidden sizes outside the tested range; returns
+    None when even the minimum tile cannot fit (e.g. w_hh alone exceeds
+    VMEM) so the caller falls back to the scan path instead of failing
+    at Mosaic compile time."""
+    block = max(128, min(1024, (131072 // hidden) // 128 * 128))
+    while block > 8 and _vmem_bytes(block, hidden, itemsize) > _VMEM_BUDGET:
+        block //= 2
+    if _vmem_bytes(block, hidden, itemsize) > _VMEM_BUDGET:
+        return None
+    return block
 
 
 def _lstm_pallas_fwd(xg, w_hh_t, h0, c0, *, reverse: bool,
@@ -124,7 +148,11 @@ def _lstm_pallas_fwd(xg, w_hh_t, h0, c0, *, reverse: bool,
     t_steps, b, four_h = xg.shape
     hidden = four_h // 4
     if block_b is None:
-        block_b = _auto_block_b(hidden)
+        block_b = _auto_block_b(hidden, xg.dtype.itemsize)
+    if block_b is None:
+        raise ValueError(
+            f"hidden={hidden} exceeds the VMEM budget at any batch tile; "
+            "use the lax.scan path")
     bp = _round_up(b, block_b)
     if bp != b:
         xg = jnp.pad(xg, ((0, 0), (0, bp - b), (0, 0)))
@@ -138,7 +166,7 @@ def _lstm_pallas_fwd(xg, w_hh_t, h0, c0, *, reverse: bool,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # xg stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),         # xg stays in HBM
             pl.BlockSpec((hidden, four_h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, hidden), lambda i: (i, 0),
@@ -147,7 +175,7 @@ def _lstm_pallas_fwd(xg, w_hh_t, h0, c0, *, reverse: bool,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # ys written by DMA
+            pl.BlockSpec(memory_space=pl.ANY),         # ys written by DMA
             pl.BlockSpec((block_b, hidden), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, hidden), lambda i: (i, 0),
@@ -205,7 +233,9 @@ def lstm_fused_scan(x, w_ih, w_hh, bias, h0, c0, reverse: bool = False):
     Forward runs the Pallas kernel on TPU (scan elsewhere); backward
     recomputes through the scan reference for exact gradients.
     """
-    if not pallas_available():
+    hidden = w_hh.shape[-1]
+    if (not pallas_available()
+            or _auto_block_b(hidden, x.dtype.itemsize) is None):
         return _scan_reference(x, w_ih, w_hh, bias, h0, c0, reverse)
     xg = x @ w_ih.T + bias                      # (B, T, 4H) big MXU matmul
     xg = jnp.swapaxes(xg, 0, 1)                 # (T, B, 4H)

@@ -26,7 +26,7 @@ from fnssl_tpu.utils.logging import EmaLoss, MetricLogger, detect_infnan
 
 class EarlyStopping:
     """Stop after ``patience`` epochs without ``min_delta`` improvement
-    (Lightning/main.py:290-296)."""
+    (Lightning/main.py:290-296). ``patience <= 0`` disables stopping."""
 
     def __init__(self, patience: int = 10, min_delta: float = 0.01):
         self.patience = patience
@@ -41,7 +41,7 @@ class EarlyStopping:
             self.bad_epochs = 0
         else:
             self.bad_epochs += 1
-        return self.bad_epochs >= self.patience
+        return self.patience > 0 and self.bad_epochs >= self.patience
 
 
 class Learner:
@@ -97,19 +97,25 @@ class Learner:
 
     def eval_epoch(self, batches: Iterable, split: str = "valid"
                    ) -> dict[str, float]:
-        losses, metrics_acc = [], []
+        # Per-sample weighting: a ragged last batch must not bias the
+        # epoch mean (the reference accumulates per-sample; this number
+        # drives top-k checkpoint ranking).
+        losses, weights, metrics_acc = [], [], []
         for batch in batches:
             loss = float(self.eval_step(self.state.params,
                                         self._place(batch)))
             if detect_infnan(loss, f"{split}/loss"):
                 continue
             losses.append(loss)
+            weights.append(float(len(jax.tree_util.tree_leaves(batch)[0])))
             if self.metric_fn is not None:
                 metrics_acc.append(self.metric_fn(self.state.params, batch))
-        out = {"loss": float(np.mean(losses))}
+        w = np.asarray(weights)
+        out = {"loss": float(np.average(losses, weights=w))}
         if metrics_acc:
             for k in metrics_acc[0]:
-                out[k] = float(np.mean([m[k] for m in metrics_acc]))
+                out[k] = float(np.average([m[k] for m in metrics_acc],
+                                          weights=w))
         self.logger.log_dict(out, self.epoch, prefix=f"{split}/")
         return out
 

@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 
 from fnssl_tpu.kernels.lstm_pallas import (
-    _lstm_pallas_fwd, _scan_reference)
+    _VMEM_BUDGET, _auto_block_b, _lstm_pallas_fwd, _scan_reference,
+    _vmem_bytes, lstm_fused_scan)
 
 
 @pytest.mark.parametrize("reverse", [False, True])
@@ -52,3 +53,36 @@ def test_pallas_kernel_pads_ragged_batch(rng):
                                 block_b=8, interpret=True)
     np.testing.assert_allclose(np.asarray(jnp.swapaxes(ys, 0, 1)),
                                np.asarray(ref_ys), rtol=1e-5, atol=1e-6)
+
+
+def test_auto_block_b_respects_vmem_budget():
+    """Every hidden size picks a tile under the budget; absurd hidden
+    sizes (w_hh alone over VMEM) return None instead of letting Mosaic
+    fail at compile time."""
+    for hidden in (8, 64, 128, 256, 512, 1024, 2048, 4096):
+        for itemsize in (2, 4):
+            block = _auto_block_b(hidden, itemsize)
+            if block is not None:
+                assert _vmem_bytes(block, hidden, itemsize) <= _VMEM_BUDGET
+    # tested-range sizes keep the original empirical tiles
+    assert _auto_block_b(128, 2) == 1024
+    assert _auto_block_b(256, 2) == 512
+    # w_hh (H, 4H) f32 at H=8192 is 1 GiB: cannot fit at any tile
+    assert _auto_block_b(8192, 4) is None
+
+
+def test_oversized_hidden_falls_back_to_scan(rng, monkeypatch):
+    """lstm_fused_scan must not attempt the Pallas kernel when no batch
+    tile fits VMEM — it silently takes the scan path (same numerics)."""
+    monkeypatch.setattr("fnssl_tpu.kernels.lstm_pallas.pallas_available",
+                        lambda: True)
+    b, t, i, h = 2, 3, 4, 8192
+    x = jnp.asarray(rng.standard_normal((b, t, i)).astype(np.float32))
+    w_ih = jnp.zeros((4 * h, i), jnp.float32)
+    w_hh = jnp.zeros((4 * h, h), jnp.float32)
+    bias = jnp.zeros(4 * h)
+    h0 = c0 = jnp.zeros((b, h))
+    ys, h_t, c_t = lstm_fused_scan(x, w_ih, w_hh, bias, h0, c0)
+    ref_ys, ref_h, ref_c = _scan_reference(x, w_ih, w_hh, bias, h0, c0,
+                                           False)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ref_ys))

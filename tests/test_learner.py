@@ -22,6 +22,28 @@ def test_early_stopping_logic():
     assert es.update(0.948)         # bad epoch 2 → stop
 
 
+def test_early_stopping_disabled():
+    es = EarlyStopping(patience=0)
+    assert not any(es.update(1.0) for _ in range(20))
+
+
+def test_eval_epoch_weights_ragged_last_batch(tmp_path):
+    """The epoch metric is a per-sample mean: a smaller final batch must
+    contribute proportionally, not equally (drives ckpt top-k ranking)."""
+    task, params = _task_and_params()
+    big = synthetic_fnssl_batch(nb=4, t_s=0.25)
+    small = jax.tree.map(lambda x: x[:1], big)
+    learner = Learner(task.loss_fn, params, log_dir=str(tmp_path / "w"))
+    loss_big = float(learner.eval_step(params, big))
+    loss_small = float(learner.eval_step(params, small))
+    out = learner.eval_epoch([big, small])
+    expected = (4 * loss_big + 1 * loss_small) / 5
+    assert np.isclose(out["loss"], expected, rtol=1e-6)
+    assert not np.isclose(out["loss"], (loss_big + loss_small) / 2,
+                          rtol=1e-9) or np.isclose(loss_big, loss_small)
+    learner.close()
+
+
 def test_learner_fit_checkpoints_and_resumes(tmp_path):
     task, params = _task_and_params()
     batch = synthetic_fnssl_batch(nb=2, t_s=0.25)
