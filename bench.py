@@ -5,6 +5,17 @@ Prints ONE JSON line. A "T-F frame" is one time-frequency bin of the
 wall time at the reference training scale (batch 16, 298 frames = 4.79 s
 @16 kHz, FN-SSL/Train.py:46-55).
 
+Besides the headline metric the JSON carries (VERDICT r1 #4):
+  pallas  — whether the fused Pallas LSTM path actually ran (the
+            compile-retry fallback can silently disable it; record it)
+  extra.train_step_tf_frames_per_sec — fwd+bwd+update throughput of the
+            jitted FN-SSL training step (bf16 policy), the number that
+            matters at the 166k-utterance scale
+  extra.ipdnet2_fwd_ms / ipdnet2_realtime_x — flagship OnlineSpatialNet
+            forward (bz 16 × 4 s)
+  extra.streaming_rtf — FN-SSL causal streaming real-time factor
+            (192 ms chunks, wall-clock incl. host↔device)
+
 Baseline: the reference PyTorch FN_SSL forward on this container's CPU
 (torch 1 thread, same tensor sizes) measures 13,061 T-F frames/s; the
 BASELINE.md target is ≥10× that (and ≥2× A100).
@@ -15,6 +26,151 @@ import time
 import numpy as np
 
 TORCH_CPU_BASELINE = 13061.0  # T-F frames/s, measured in-container
+
+
+def _sync(x):
+    """Fetch one value — on the axon tunnel block_until_ready alone is
+    unreliable right after compile."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[0], np.float32)
+
+
+def bench_headline(tpu: bool):
+    import jax
+
+    from fnssl_tpu.models.fnssl import (
+        FNSSLConfig, fnssl_apply, init_fnssl_params)
+
+    nb, nt, nf = (16, 298, 256) if tpu else (2, 298, 256)
+    iters = 20 if tpu else 2
+
+    cfg = FNSSLConfig()
+    params = init_fnssl_params(jax.random.PRNGKey(0), cfg)
+    if tpu:
+        params = jax.tree.map(lambda x: x.astype(jax.numpy.bfloat16), params)
+    x = np.random.default_rng(0).standard_normal(
+        (nb, 4, nf, nt)).astype(np.float32)
+    if tpu:
+        x = x.astype(jax.numpy.bfloat16)
+    x = jax.device_put(x)
+
+    # compile + warmup. The remote compile helper is flaky — retry, then
+    # fall back to the (numerically identical) lax.scan LSTM path if
+    # Mosaic kernels cannot be built; the JSON records which path ran.
+    import os as _os
+    fwd = None
+    for attempt in range(6):
+        fwd = jax.jit(lambda p, x: fnssl_apply(p, x, cfg=cfg))
+        try:
+            _sync(fwd(params, x))
+            break
+        except Exception:
+            if attempt == 5:
+                raise
+            if attempt >= 2:
+                _os.environ["FNSSL_TPU_DISABLE_PALLAS"] = "1"
+            time.sleep(20)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, x)
+    _sync(out)
+    dt = (time.perf_counter() - t0) / iters
+    return nb * nt * nf / dt
+
+
+def bench_train_step(tpu: bool):
+    """Jitted fwd+bwd+update throughput, bf16 mixed-precision policy."""
+    import jax
+
+    from fnssl_tpu.models.fnssl import init_fnssl_params
+    from fnssl_tpu.train.step import (
+        init_train_state, make_optimizer, make_train_step)
+    from fnssl_tpu.train.tasks import make_fnssl_task, synthetic_fnssl_batch
+
+    nb = 16 if tpu else 2
+    iters = 10 if tpu else 1
+    # bf16 policy (the reference trains with AMP); with the memory-lean
+    # LSTM backward this fits one chip at the reference bz 16 w/o remat
+    task = make_fnssl_task(precision="bf16" if tpu else "fp32")
+    params = init_fnssl_params(jax.random.PRNGKey(0), task.cfg)
+    tx = make_optimizer("adam", 1e-3, 0.8988, 1)
+    state = init_train_state(params, tx)
+    step = make_train_step(task.loss_fn, tx)
+    batch = jax.device_put(synthetic_fnssl_batch(nb=nb, t_s=4.79))
+    rng = jax.random.PRNGKey(1)
+    import os as _os
+    for attempt in range(6):                        # compile (flaky helper)
+        try:
+            state, loss = step(state, batch, rng)
+            _sync(loss)
+            break
+        except Exception:
+            if attempt == 5:
+                raise
+            if attempt >= 2:
+                _os.environ["FNSSL_TPU_DISABLE_PALLAS"] = "1"
+                step = make_train_step(task.loss_fn, tx)
+            time.sleep(20)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch, rng)
+    _sync(loss)
+    dt = (time.perf_counter() - t0) / iters
+    nt, nf = 298, 256
+    return nb * nt * nf / dt
+
+
+def bench_ipdnet2(tpu: bool):
+    """Flagship OnlineSpatialNet forward: bz 16 × 4 s (nt=200, hop 320)."""
+    import jax
+
+    from fnssl_tpu.models.spatialnet import (
+        SpatialNetConfig, init_spatialnet_params, spatialnet_apply)
+
+    nb, nt = (16, 200) if tpu else (1, 20)
+    iters = 10 if tpu else 1
+    cfg = SpatialNetConfig()
+    params = init_spatialnet_params(jax.random.PRNGKey(0), cfg)
+    x = jax.device_put(np.random.default_rng(0).standard_normal(
+        (nb, cfg.dim_input, cfg.num_freqs, nt)).astype(np.float32))
+    fwd = jax.jit(lambda p, x: spatialnet_apply(p, x, cfg=cfg))
+    _sync(fwd(params, x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, x)
+    _sync(out)
+    dt = (time.perf_counter() - t0) / iters
+    audio_s = nb * nt * 320 / 16000.0
+    return dt * 1e3, audio_s / dt
+
+
+def bench_streaming_rtf(tpu: bool):
+    """FN-SSL causal streaming: 192 ms chunks through the push driver."""
+    import jax
+
+    from fnssl_tpu.models.fnssl import FNSSLConfig, init_fnssl_params
+    from fnssl_tpu.runtime.streaming import (
+        StreamingLocalizer, make_fnssl_stream_step)
+
+    cfg = FNSSLConfig()
+    params = init_fnssl_params(jax.random.PRNGKey(0), cfg)
+    if tpu:
+        params = jax.tree.map(lambda x: x.astype(jax.numpy.bfloat16), params)
+    loc = StreamingLocalizer(make_fnssl_stream_step(params, cfg), nch=2,
+                             ch_mode="MM", frames_per_step=12)
+    rng = np.random.default_rng(0)
+    chunk_s, total_s = 0.192, (10.0 if tpu else 1.0)
+    # warmup: first chunks pay compiles; reset counters after
+    for _ in range(3):
+        loc.push(rng.standard_normal(
+            (int(16000 * chunk_s), 2)).astype(np.float32))
+    loc.processed_s = loc.compute_s = 0.0
+    for _ in range(int(total_s / chunk_s)):
+        loc.push(rng.standard_normal(
+            (int(16000 * chunk_s), 2)).astype(np.float32))
+    return loc.rtf
 
 
 def main():
@@ -29,54 +185,35 @@ def main():
     except Exception:
         pass
 
-    from fnssl_tpu.models.fnssl import (
-        FNSSLConfig, fnssl_apply, init_fnssl_params)
+    tpu = jax.devices()[0].platform == "tpu"
+    value = bench_headline(tpu)
 
-    platform = jax.devices()[0].platform
-    nb, nt, nf = (16, 298, 256) if platform == "tpu" else (2, 298, 256)
-    iters = 20 if platform == "tpu" else 2
-
-    cfg = FNSSLConfig()
-    params = init_fnssl_params(jax.random.PRNGKey(0), cfg)
-    if platform == "tpu":
-        params = jax.tree.map(lambda x: x.astype(jax.numpy.bfloat16), params)
-    x = np.random.default_rng(0).standard_normal(
-        (nb, 4, nf, nt)).astype(np.float32)
-    if platform == "tpu":
-        x = x.astype(jax.numpy.bfloat16)
-    x = jax.device_put(x)
-
-    # compile + warmup; a value fetch (not just block_until_ready) is
-    # required on the axon-tunneled platform to guarantee completion.
-    # The remote compile helper is flaky — retry, then fall back to the
-    # (numerically identical) lax.scan LSTM path if Mosaic kernels
-    # cannot be built.
-    import os as _os
-    import time as _time
-    fwd = None
-    for attempt in range(6):
-        fwd = jax.jit(lambda p, x: fnssl_apply(p, x, cfg=cfg))
+    from fnssl_tpu.kernels.lstm_pallas import pallas_available
+    pallas_headline = bool(pallas_available())  # before later sections
+    extra = {}
+    for name, fn in (("train_step", bench_train_step),
+                     ("ipdnet2", bench_ipdnet2),
+                     ("streaming", bench_streaming_rtf)):
         try:
-            np.asarray(fwd(params, x)[0, 0, 0], np.float32)
-            break
-        except Exception:
-            if attempt == 5:
-                raise
-            if attempt >= 2:
-                _os.environ["FNSSL_TPU_DISABLE_PALLAS"] = "1"
-            _time.sleep(20)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, x)
-    np.asarray(out[0, 0, 0], np.float32)  # sync
-    dt = (time.perf_counter() - t0) / iters
+            r = fn(tpu)
+        except Exception as e:  # record the miss, keep the headline
+            extra[name + "_error"] = f"{type(e).__name__}: {e}"[:120]
+            continue
+        if name == "train_step":
+            extra["train_step_tf_frames_per_sec"] = round(r, 1)
+        elif name == "ipdnet2":
+            extra["ipdnet2_fwd_ms"] = round(r[0], 2)
+            extra["ipdnet2_realtime_x"] = round(r[1], 1)
+        else:
+            extra["streaming_rtf"] = round(r, 3)
 
-    value = nb * nt * nf / dt
     print(json.dumps({
         "metric": "fnssl_fwd_tf_frames_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "T-F frames/s",
         "vs_baseline": round(value / TORCH_CPU_BASELINE, 2),
+        "pallas": pallas_headline,
+        "extra": extra,
     }))
 
 

@@ -230,8 +230,15 @@ def _scan_reference(x, w_ih, w_hh, bias, h0, c0, reverse: bool):
 def lstm_fused_scan(x, w_ih, w_hh, bias, h0, c0, reverse: bool = False):
     """Fused-forward LSTM direction. x: (B, T, I) → ys (B, T, H), hT, cT.
 
-    Forward runs the Pallas kernel on TPU (scan elsewhere); backward
-    recomputes through the scan reference for exact gradients.
+    Forward runs the Pallas kernel on TPU (scan elsewhere). Backward is a
+    memory-lean hand-written scan (``_lstm_backward``): it recomputes the
+    gates per step from (x, ys) and accumulates the weight gradients in
+    the scan carry, so nothing of size (T, B, 4H) is ever stored — the
+    residuals are just x and ys. Differentiating the scan the naive way
+    stores ~6 (T, B, H) gate tensors per LSTM, which at the reference
+    training scale (bz 16 × 4.79 s, 6 LSTM passes) wants ~38 GB HBM and
+    cannot fit one chip; this formulation trades ~1.5× backward FLOPs
+    (all MXU-shaped matmuls) for that memory.
     """
     hidden = w_hh.shape[-1]
     if (not pallas_available()
@@ -242,18 +249,94 @@ def lstm_fused_scan(x, w_ih, w_hh, bias, h0, c0, reverse: bool = False):
     ys, h_t, c_t = _lstm_pallas_fwd(
         xg, w_hh.T.astype(xg.dtype),
         h0.astype(jnp.float32), c0.astype(jnp.float32), reverse=reverse)
-    return jnp.swapaxes(ys, 0, 1), h_t.astype(x.dtype), c_t.astype(x.dtype)
+    # carry dtypes must match _scan_reference exactly (h0/c0, not x):
+    # the custom_vjp backward differentiates the scan path, and mixed
+    # h0-vs-x dtypes (e.g. f32 streaming state under the bf16 policy)
+    # would otherwise disagree on the cotangent dtype.
+    return (jnp.swapaxes(ys, 0, 1), h_t.astype(h0.dtype),
+            c_t.astype(c0.dtype))
 
 
 def _fwd(x, w_ih, w_hh, bias, h0, c0, reverse):
     out = lstm_fused_scan(x, w_ih, w_hh, bias, h0, c0, reverse)
-    return out, (x, w_ih, w_hh, bias, h0, c0)
+    return out, (x, w_ih, w_hh, bias, h0, c0, out[0])
 
 
-def _bwd(reverse, residuals, grads):
-    _, vjp = jax.vjp(
-        lambda *a: _scan_reference(*a, reverse=reverse), *residuals)
-    return vjp(grads)
+def _lstm_backward(reverse, residuals, grads):
+    """Recompute-in-backward LSTM gradient.
+
+    Stage 1 replays the cell state c_t with a forward scan (h comes for
+    free from the stored ys, so there is no h recurrence to replay);
+    stage 2 runs the reverse scan, recomputing the four gates per step
+    and accumulating dW_ih/dW_hh/db in the carry while emitting dx_t.
+    All recurrence math is f32, exactly like the forward. Under bf16
+    compute the replay reads h through the bf16 ys (one rounding of h
+    the naive differentiate-the-scan backward wouldn't have) — the same
+    order of error AMP training already accepts; the fp32 path is exact.
+    """
+    x, w_ih, w_hh, bias, h0, c0, ys = residuals
+    dys, dh_t, dc_t = grads
+    f32 = jnp.float32
+
+    def tmajor(a):
+        a = jnp.swapaxes(a, 0, 1)
+        return jnp.flip(a, 0) if reverse else a
+
+    x_t, ys_t, dys_t = tmajor(x), tmajor(ys), tmajor(dys)
+    h_prev = jnp.concatenate(
+        [h0[None].astype(ys_t.dtype), ys_t[:-1]], axis=0)
+    w_hh_f = w_hh.astype(f32)
+
+    def gates_f32(xi, hp):
+        # identical quantization to the forward: the input projection in
+        # the original dtypes (a per-step slice of the forward's whole-
+        # matrix x @ w_ih.T + bias), recurrence f32
+        return (xi @ w_ih.T + bias).astype(f32) + hp.astype(f32) @ w_hh_f.T
+
+    def replay(c, inp):
+        xi, hp = inp
+        i, f, g, _ = jnp.split(gates_f32(xi, hp), 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        return c, c
+
+    _, c_seq = jax.lax.scan(replay, c0.astype(f32), (x_t, h_prev))
+    c_prev = jnp.concatenate([c0[None].astype(f32), c_seq[:-1]], axis=0)
+
+    def bwd_step(carry, inp):
+        dh, dc, d_wih, d_whh, db = carry
+        xi, hp, cp, ct, dy = inp
+        i, f, g, o = jnp.split(gates_f32(xi, hp), 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        tc = jnp.tanh(ct)
+        dh_total = dy.astype(f32) + dh
+        dct = dc + dh_total * o * (1.0 - tc * tc)
+        dgates = jnp.concatenate([
+            dct * g * i * (1.0 - i),
+            dct * cp * f * (1.0 - f),
+            dct * i * (1.0 - g * g),
+            dh_total * tc * o * (1.0 - o),
+        ], axis=-1)                                   # (B, 4H) f32
+        dx_i = (dgates @ w_ih.astype(f32)).astype(x.dtype)   # (B, I)
+        carry = (dgates @ w_hh_f,                     # dh_{t-1}
+                 dct * f,                             # dc_{t-1}
+                 d_wih + dgates.T @ xi.astype(f32),
+                 d_whh + dgates.T @ hp.astype(f32),
+                 db + dgates.sum(axis=0))
+        return carry, dx_i
+
+    four_h, in_sz = w_ih.shape
+    hid = w_hh.shape[1]
+    init = (dh_t.astype(f32), dc_t.astype(f32),
+            jnp.zeros((four_h, in_sz), f32), jnp.zeros((four_h, hid), f32),
+            jnp.zeros((four_h,), f32))
+    (dh0, dc0, d_wih, d_whh, db), dx_t = jax.lax.scan(
+        bwd_step, init, (x_t, h_prev, c_prev, c_seq, dys_t), reverse=True)
+    dx = jnp.flip(dx_t, 0) if reverse else dx_t
+    return (jnp.swapaxes(dx, 0, 1).astype(x.dtype),
+            d_wih.astype(w_ih.dtype), d_whh.astype(w_hh.dtype),
+            db.astype(bias.dtype), dh0.astype(h0.dtype),
+            dc0.astype(c0.dtype))
 
 
-lstm_fused_scan.defvjp(_fwd, _bwd)
+lstm_fused_scan.defvjp(_fwd, _lstm_backward)

@@ -71,6 +71,71 @@ def test_auto_block_b_respects_vmem_budget():
     assert _auto_block_b(8192, 4) is None
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_handwritten_backward_matches_autodiff(rng, reverse):
+    """The memory-lean recompute backward must equal jax.grad of the
+    scan reference (fp32: exact math, tiny accumulation-order noise)."""
+    b, t, i, h = 6, 9, 5, 7
+    args = (
+        jnp.asarray(rng.standard_normal((b, t, i)), jnp.float32),
+        jnp.asarray(rng.standard_normal((4 * h, i)) * 0.3, jnp.float32),
+        jnp.asarray(rng.standard_normal((4 * h, h)) * 0.3, jnp.float32),
+        jnp.asarray(rng.standard_normal(4 * h) * 0.1, jnp.float32),
+        jnp.asarray(rng.standard_normal((b, h)) * 0.5, jnp.float32),
+        jnp.asarray(rng.standard_normal((b, h)) * 0.5, jnp.float32),
+    )
+    # weighted sum of every output so all three cotangents are non-trivial
+    wy = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+    wh = jnp.asarray(rng.standard_normal((b, h)), jnp.float32)
+
+    def loss_fused(*a):
+        ys, h_t, c_t = lstm_fused_scan(*a, reverse)
+        return (ys * wy).sum() + (h_t * wh).sum() + (c_t * wh).sum()
+
+    def loss_ref(*a):
+        ys, h_t, c_t = _scan_reference(*a, reverse)
+        return (ys * wy).sum() + (h_t * wh).sum() + (c_t * wh).sum()
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_grad_with_mixed_state_dtype(rng, monkeypatch):
+    """bf16 compute policy + f32 streaming carries: the Pallas primal and
+    the scan backward must agree on carry dtypes. Regression for the TPU
+    bf16 train step failing with a cotangent dtype mismatch (hT was
+    returned in x.dtype while the scan reference uses h0.dtype)."""
+    import functools  # noqa: F401
+
+    import fnssl_tpu.kernels.lstm_pallas as lp
+
+    monkeypatch.setattr(lp, "pallas_available", lambda: True)
+    orig = lp._lstm_pallas_fwd
+    monkeypatch.setattr(
+        lp, "_lstm_pallas_fwd",
+        lambda xg, w, h0, c0, reverse: orig(xg, w, h0, c0, reverse=reverse,
+                                            block_b=8, interpret=True))
+    b, t, i, h = 8, 4, 8, 8
+    x = jnp.asarray(rng.standard_normal((b, t, i)), jnp.bfloat16)
+    w_ih = jnp.asarray(rng.standard_normal((4 * h, i)) * 0.2, jnp.bfloat16)
+    w_hh = jnp.asarray(rng.standard_normal((4 * h, h)) * 0.2, jnp.bfloat16)
+    bias = jnp.zeros(4 * h, jnp.bfloat16)
+    h0 = c0 = jnp.zeros((b, h), jnp.float32)   # f32 carry, bf16 compute
+
+    def loss(x, w_ih):
+        ys, h_t, c_t = lp.lstm_fused_scan(x, w_ih, w_hh, bias, h0, c0,
+                                          False)
+        return (ys.astype(jnp.float32).sum()
+                + h_t.astype(jnp.float32).sum())
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w_ih)  # must not raise
+    assert gx.dtype == jnp.bfloat16 and np.isfinite(
+        np.asarray(gx, np.float32)).all()
+
+
 def test_oversized_hidden_falls_back_to_scan(rng, monkeypatch):
     """lstm_fused_scan must not attempt the Pallas kernel when no batch
     tile fits VMEM — it silently takes the scan path (same numerics)."""
