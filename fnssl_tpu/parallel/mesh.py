@@ -36,13 +36,30 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Place every array leaf of a batch pytree batch-sharded on the mesh."""
+    """Place every array leaf of a batch pytree batch-sharded on the mesh.
+
+    Single-process: leaves are the GLOBAL batch. Multi-process
+    (``jax.distributed.initialize``'d): each process passes its LOCAL
+    rows (the ``host_local_slice`` share) and they are assembled into
+    global arrays without any cross-host copy.
+    """
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate_params(params, mesh: Mesh):
+    """Replicate every leaf on all mesh devices. Multi-process: every
+    process must hold identical values (same-seed init or
+    ``broadcast_from_primary``)."""
     sh = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x), np.shape(x)), params)
     return jax.tree.map(lambda x: jax.device_put(x, sh), params)
 
 

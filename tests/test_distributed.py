@@ -1,0 +1,108 @@
+"""Two-process CPU data-parallel test (SURVEY §4's multi-process DP
+simulation — the fake-backend capability the reference lacks).
+
+Spawns 2 ranks × 2 local CPU devices via jax.distributed.initialize and
+verifies, for real across process boundaries:
+  * rank gating (is_primary) and device/world discovery,
+  * broadcast_from_primary delivers rank 0's value to every rank,
+  * host_local_slice schedules are disjoint and cover the dataset,
+  * a 2-process data-parallel train step reproduces the single-process
+    4-device step (same global batch, same init) to float tolerance.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_WORKER = os.path.join(_REPO, "tests", "distributed_worker.py")
+WORLD, LOCAL_DEV = 2, 2
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def worker_results(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dist")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs, outs = [], []
+    for rank in range(WORLD):
+        out = str(tmp / f"rank{rank}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, _WORKER, str(rank), str(WORLD), str(port),
+             str(LOCAL_DEV), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    results = []
+    for p, out in zip(procs, outs):
+        try:
+            _, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        with open(out) as f:
+            results.append(json.load(f))
+    return results
+
+
+def test_broadcast_delivers_rank0_value(worker_results):
+    for r in worker_results:
+        # every rank offered rank+7; all must receive rank 0's 7.0
+        assert r["received_broadcast"] == [7.0] * 4, r
+
+
+def test_host_local_slices_disjoint_and_complete(worker_results):
+    all_idx = [i for r in worker_results for i, _ in r["sched"]]
+    assert sorted(all_idx) == list(range(10))
+    seeds = {i: s for r in worker_results for i, s in r["sched"]}
+    assert len(seeds) == 10  # per-item seeds are per-index deterministic
+
+
+def test_two_process_step_matches_single_process(worker_results):
+    # both ranks see the identical replicated loss and updated params
+    losses = [r["loss"] for r in worker_results]
+    assert np.allclose(losses[0], losses[1], rtol=0, atol=0)
+    fps = [r["param_fingerprint"] for r in worker_results]
+    assert np.allclose(fps[0], fps[1], rtol=0, atol=0)
+
+    # single-process 4-device run of the same global step (the suite's
+    # conftest already forces a multi-device CPU platform)
+    import jax
+
+    from fnssl_tpu.models.fnssl import FNSSLConfig, init_fnssl_params
+    from fnssl_tpu.parallel import make_mesh, replicate_params, shard_batch
+    from fnssl_tpu.train import (
+        init_train_state, make_optimizer, make_train_step)
+    from fnssl_tpu.train.tasks import make_fnssl_task, synthetic_fnssl_batch
+
+    n_global = WORLD * LOCAL_DEV
+    cfg = FNSSLConfig()
+    task = make_fnssl_task(cfg)
+    tx = make_optimizer("adam", base_lr=1e-3, gamma=0.8988,
+                        steps_per_epoch=1)
+    state = init_train_state(init_fnssl_params(jax.random.PRNGKey(0), cfg),
+                             tx)
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    mesh = make_mesh(jax.devices()[:n_global])
+    batch = synthetic_fnssl_batch(nb=n_global, t_s=0.25)
+    with mesh:
+        state = replicate_params(state, mesh)
+        state, loss = step(state, shard_batch(batch, mesh),
+                           jax.random.PRNGKey(1))
+        loss = float(jax.device_get(loss))
+    assert np.isclose(loss, losses[0], rtol=1e-6, atol=1e-7), \
+        (loss, losses[0])
