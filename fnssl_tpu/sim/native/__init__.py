@@ -113,6 +113,56 @@ def vad_available() -> bool:
     return _load_vad() is not None
 
 
+_gmm_lib = None
+_gmm_tried = False
+_GMM_PATH = os.path.join(_DIR, "libgmmvad.so")
+
+
+def _load_gmm():
+    global _gmm_lib, _gmm_tried
+    if _gmm_lib is not None or _gmm_tried:
+        return _gmm_lib
+    _gmm_tried = True
+    if not os.path.exists(_GMM_PATH):
+        try:
+            subprocess.run(["make", "-C", _DIR, "libgmmvad.so"],
+                           check=True, capture_output=True, timeout=300)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_GMM_PATH)
+    except OSError:
+        return None
+    lib.gmm_vad_native.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C"),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float32, flags="C"),
+    ]
+    lib.gmm_vad_native.restype = ctypes.c_int64
+    _gmm_lib = lib
+    return _gmm_lib
+
+
+def gmm_vad_available() -> bool:
+    return _load_gmm() is not None
+
+
+def gmm_vad_native(signal, fs: int, mode: int = 3) -> np.ndarray:
+    """webrtcvad-class GMM VAD (C++, sim/native/gmm_vad.cpp).
+
+    Per-sample 0/1 mask. mode 0..3 = webrtcvad set_mode aggressiveness.
+    """
+    lib = _load_gmm()
+    if lib is None:
+        raise RuntimeError("native GMM VAD library unavailable")
+    sig = np.ascontiguousarray(signal, np.float32)
+    out = np.zeros(len(sig), np.float32)
+    rc = lib.gmm_vad_native(sig, len(sig), int(fs), int(mode), out)
+    if rc < 0:
+        raise ValueError(f"gmm_vad_native: bad fs={fs} or mode={mode}")
+    return out
+
+
 def frame_vad_native(signal, frame_len: int, margin_db: float):
     """C++ drop-in for the energy-ladder frame VAD core."""
     lib = _load_vad()
