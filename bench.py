@@ -13,6 +13,10 @@ Besides the headline metric the JSON carries (VERDICT r1 #4):
             matters at the 166k-utterance scale
   extra.ipdnet2_fwd_ms / ipdnet2_realtime_x — flagship OnlineSpatialNet
             forward (bz 16 × 4 s)
+  extra.ipdnet2_train_step_ms / ipdnet2_train_realtime_x — flagship
+            training step (fwd+bwd+AdamW, reference scale, fused
+            near-field targets), measured from steady state so a
+            signature-drift recompile would show up as a regression
   extra.streaming_rtf — FN-SSL causal streaming real-time factor
             (192 ms chunks, wall-clock incl. host↔device)
 
@@ -122,6 +126,47 @@ def bench_train_step(tpu: bool):
     return nb * nt * nf / dt
 
 
+def bench_ipdnet2_train(tpu: bool):
+    """IPDnet2 training step (fwd+bwd+AdamW) at reference scale:
+    bz 16 × 4 s × 5 mics, per-batch topology near-field targets."""
+    import jax
+
+    from fnssl_tpu.data.arrays import audiowu_high_array_geometry
+    from fnssl_tpu.models.spatialnet import init_spatialnet_params
+    from fnssl_tpu.train.step import (
+        init_train_state, make_optimizer, make_train_step)
+    from fnssl_tpu.train.tasks import make_ipdnet2_task
+
+    nb, t_s = (16, 4.0) if tpu else (1, 0.5)
+    iters = 5 if tpu else 1
+    task = make_ipdnet2_task()
+    params = init_spatialnet_params(jax.random.PRNGKey(0), task.cfg)
+    tx = make_optimizer("adamw", 5e-4, 0.975, 1, grad_clip=5.0)
+    state = init_train_state(params, tx)
+    step = make_train_step(task.loss_fn, tx)
+    rng = np.random.default_rng(0)
+    mic = audiowu_high_array_geometry()[[0, 1, 3, 5, 7]]
+    nt2 = int(t_s * 10)
+    batch = jax.device_put({
+        "mic_sig": rng.standard_normal(
+            (nb, int(t_s * 16000), 5)).astype(np.float32),
+        "azi_deg": rng.uniform(0, 180, (nb, nt2, 2)).astype(np.float32),
+        "distance": rng.uniform(0.5, 3.0, (nb, nt2, 2)).astype(np.float32),
+        "vad": np.ones((nb, nt2, 2), np.float32),
+        "mic_pos": np.broadcast_to(mic, (nb,) + mic.shape)
+                     .astype(np.float32).copy(),
+    })
+    state, loss = step(state, batch, None)   # compile
+    state, loss = step(state, batch, None)   # steady state (would catch a
+    _sync(loss)                              # signature-drift recompile)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch, None)
+    _sync(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return dt * 1e3, nb * t_s / dt
+
+
 def bench_ipdnet2(tpu: bool):
     """Flagship OnlineSpatialNet forward: bz 16 × 4 s (nt=200, hop 320)."""
     import jax
@@ -193,6 +238,7 @@ def main():
     extra = {}
     for name, fn in (("train_step", bench_train_step),
                      ("ipdnet2", bench_ipdnet2),
+                     ("ipdnet2_train", bench_ipdnet2_train),
                      ("streaming", bench_streaming_rtf)):
         try:
             r = fn(tpu)
@@ -204,6 +250,9 @@ def main():
         elif name == "ipdnet2":
             extra["ipdnet2_fwd_ms"] = round(r[0], 2)
             extra["ipdnet2_realtime_x"] = round(r[1], 1)
+        elif name == "ipdnet2_train":
+            extra["ipdnet2_train_step_ms"] = round(r[0], 2)
+            extra["ipdnet2_train_realtime_x"] = round(r[1], 1)
         else:
             extra["streaming_rtf"] = round(r, 3)
 

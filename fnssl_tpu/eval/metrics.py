@@ -145,7 +145,9 @@ def get_metric_multiple(doa_gt, vad_gt, doa_est, vad_est,
 
     def fold(v):
         v = v.mean(axis=0)
-        return float(v) if np.ndim(v) == 0 or v.size == 1 else v.tolist()
+        if np.ndim(v) == 0 or v.size == 1:
+            return float(np.asarray(v).reshape(()))
+        return v.tolist()
 
     return {"ACC": fold(acc), "MDR": fold(mdr), "FAR": fold(far),
             "MAE": fold(mae), "RMSE": fold(rmse)}

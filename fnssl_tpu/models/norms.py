@@ -209,7 +209,10 @@ def new_non_linear(non_linear_type: str, dim_hidden: int, seq_last: bool):
             a = p["weight"].reshape(shape)
             return jnp.where(x >= 0, x, a * x)
 
-        return lambda: {"weight": jnp.full((dim_hidden,), 0.25)}, apply
+        # explicit dtype: weak-typed inits change the jit signature after
+        # one optimizer step (a silent full recompile mid-training)
+        return (lambda: {"weight": jnp.full((dim_hidden,), 0.25,
+                                            jnp.float32)}, apply)
     fns = {"silu": jax.nn.silu, "sigmoid": jax.nn.sigmoid,
            "relu": jax.nn.relu, "leakyrelu": lambda x: jax.nn.leaky_relu(x),
            "elu": jax.nn.elu}

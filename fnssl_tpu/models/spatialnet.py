@@ -176,7 +176,9 @@ def init_spatialnet_params(key: jax.Array,
     def fconv(k):
         k1, k2 = jax.random.split(k)
         return {"0": _init_ln(h), "1": conv1d_init(k1, h, h // g, kf),
-                "2": {"weight": jnp.full((h,), 0.25)}}
+                # explicit dtype: a weak-typed init changes the jit
+                # signature after one optimizer step (full recompile)
+                "2": {"weight": jnp.full((h,), 0.25, jnp.float32)}}
 
     def time_module(k, slot: int):
         if kind == "mamba":

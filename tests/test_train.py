@@ -117,3 +117,64 @@ def test_host_local_slice_partition():
     # different epoch → different permutation
     assert host_local_slice(n, epoch=4, process_index=1,
                             process_count=world) != again
+
+
+def _state_avals(tree):
+    return [(jax.tree_util.keystr(p), a.shape, str(a.dtype),
+             bool(getattr(a, "weak_type", False)))
+            for p, a in jax.tree_util.tree_flatten_with_path(
+                jax.tree.map(jax.api_util.shaped_abstractify, tree))[0]]
+
+
+@pytest.mark.parametrize("which", ["fnssl", "ipdnet", "ipdnet2"])
+def test_train_step_signature_stable(which):
+    """One optimizer step must not change the abstract signature of the
+    train state (shape/dtype/weak_type of every leaf). A weak-typed param
+    init (e.g. ``jnp.full(shape, 0.25)``) silently triggers a full XLA
+    recompile on the *second* training step — ~50 s at IPDnet2 scale."""
+    import optax
+
+    from fnssl_tpu.train.step import TrainState
+
+    if which == "fnssl":
+        from fnssl_tpu.train.tasks import make_fnssl_task
+        task = make_fnssl_task()
+        params = init_fnssl_params(jax.random.PRNGKey(0), task.cfg)
+        tx = make_optimizer("adam", 1e-3, 0.8988, 1)
+        batch = synthetic_fnssl_batch(nb=1, t_s=0.25)
+    elif which == "ipdnet":
+        from fnssl_tpu.models.ipdnet import init_ipdnet_params
+        from fnssl_tpu.train.tasks import make_ipdnet_task
+        task = make_ipdnet_task()
+        params = init_ipdnet_params(jax.random.PRNGKey(0), task.cfg)
+        tx = make_optimizer("adam", 5e-4, 0.975, 1)
+        batch = {"mic_sig": np.zeros((1, 4000, 2), np.float32),
+                 "doa": np.zeros((1, 2, 2, 2), np.float32),
+                 "vad": np.ones((1, 2, 2), np.float32)}
+    else:
+        from fnssl_tpu.data.arrays import audiowu_high_array_geometry
+        from fnssl_tpu.models.spatialnet import init_spatialnet_params
+        from fnssl_tpu.train.tasks import make_ipdnet2_task
+        task = make_ipdnet2_task()
+        params = init_spatialnet_params(jax.random.PRNGKey(0), task.cfg)
+        tx = make_optimizer("adamw", 5e-4, 0.975, 1, grad_clip=5.0)
+        mic = audiowu_high_array_geometry()[[0, 1, 3, 5, 7]]
+        batch = {"mic_sig": np.zeros((1, 8000, 5), np.float32),
+                 "azi_deg": np.zeros((1, 5, 2), np.float32),
+                 "distance": np.ones((1, 5, 2), np.float32),
+                 "vad": np.ones((1, 5, 2), np.float32),
+                 "mic_pos": mic[None].astype(np.float32)}
+
+    def update(state, batch):
+        loss, g = jax.value_and_grad(task.loss_fn)(state.params, batch,
+                                                   None)
+        updates, opt_state = tx.update(g, state.opt_state, state.params)
+        return TrainState(optax.apply_updates(state.params, updates),
+                          opt_state, state.step + 1), loss
+
+    state0 = init_train_state(params, tx)
+    state1_shape, _ = jax.eval_shape(update, state0, batch)
+    before = _state_avals(state0)
+    after = _state_avals(state1_shape)
+    diffs = [(b, a) for b, a in zip(before, after) if b != a]
+    assert not diffs, f"{len(diffs)} leaves change signature: {diffs[:6]}"
