@@ -46,6 +46,11 @@ def _add_common(p):
                    help="compute precision policy: bf16 = mixed precision "
                         "(params fp32, model compute bf16, loss/grads "
                         "fp32 — the reference's AMP, Learner.py:109-115)")
+    p.add_argument("--workers", type=int, default=2,
+                   help="batch-assembly threads (0 = serial); the "
+                        "DataLoader num_workers analogue, Train.py:94-101")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches kept in flight ahead of the train step")
 
 
 def build_parser():
@@ -165,30 +170,35 @@ def _init_params(name: str, task, seed: int):
 
 def _realman_batches(args, bz: int, epoch: int, seed: int,
                      shuffle: bool):
-    """RealMAN on-the-fly batches for the ipdnet2 task."""
-    from fnssl_tpu.data import RealData, collate_realman
+    """RealMAN on-the-fly batches for the ipdnet2 task (prefetched)."""
+    from fnssl_tpu.data import DataLoader, RealData, collate_realman
     from fnssl_tpu.parallel import host_local_slice
 
     mic_ids = [int(i) for i in args.mic_ids.split(",")]
     ds = RealData(args.train_dir, [args.realman_csv], args.realman_noise,
                   use_mic_id=mic_ids, max_source=2, ext=args.realman_ext)
     sched = host_local_slice(len(ds), epoch, seed=seed, shuffle=shuffle)
-    for i in range(0, len(sched) - bz + 1, bz):
-        yield collate_realman([ds[item] for item in sched[i:i + bz]])
+    return DataLoader(lambda item: ds[item], sched, bz, collate_realman,
+                      num_workers=getattr(args, "workers", 2),
+                      prefetch=getattr(args, "prefetch", 2))
 
 
 def _batches(data_dir: str, bz: int, epoch: int, seed: int,
-             shuffle: bool, pad_tracks: int | None = None):
-    """Deterministic per-epoch sharded batches from a wav+npz dir."""
-    from fnssl_tpu.data import FixTrajectoryDataset, Segmenting, \
-        collate_segmented
+             shuffle: bool, pad_tracks: int | None = None,
+             workers: int = 2, prefetch: int = 2):
+    """Deterministic per-epoch sharded batches from a wav+npz dir,
+    assembled on the prefetching loader so file IO + segmenting overlap
+    the device step."""
+    from fnssl_tpu.data import DataLoader, FixTrajectoryDataset, \
+        Segmenting, collate_segmented
     from fnssl_tpu.parallel import host_local_slice
 
     ds = FixTrajectoryDataset(data_dir, transforms=[Segmenting()])
     sched = host_local_slice(len(ds), epoch, seed=seed, shuffle=shuffle)
-    for i in range(0, len(sched) - bz + 1, bz):
-        yield collate_segmented([ds[idx] for idx, _ in sched[i:i + bz]],
-                                pad_tracks=pad_tracks)
+    return DataLoader(
+        lambda entry: ds[entry[0]], sched, bz,
+        lambda items: collate_segmented(items, pad_tracks=pad_tracks),
+        num_workers=workers, prefetch=prefetch)
 
 
 def cmd_simulate(args):
@@ -260,9 +270,11 @@ def cmd_fit(args):
     else:
         pad = getattr(task.cfg, "max_track", None)
         train_fn = lambda e: _batches(args.train_dir, args.bz, e,  # noqa
-                                      args.seed, True, pad)
+                                      args.seed, True, pad,
+                                      args.workers, args.prefetch)
         valid_fn = lambda e: _batches(args.valid_dir, args.bz, 0,  # noqa
-                                      args.seed, False, pad)
+                                      args.seed, False, pad,
+                                      args.workers, args.prefetch)
     history = learner.fit(train_fn, valid_fn, epochs=args.epochs)
     learner.close()
     print(json.dumps({"final_train": history["train"][-1],
@@ -310,7 +322,9 @@ def cmd_test(args):
         print("warning: no checkpoint found; testing fresh params")
     metrics = learner.test(
         _batches(args.data_dir, args.bz, 0, args.seed, False,
-                 getattr(task.cfg, "max_track", None)))
+                 getattr(task.cfg, "max_track", None),
+                 getattr(args, "workers", 2),
+                 getattr(args, "prefetch", 2)))
     learner.close()
     print(json.dumps(metrics))
 

@@ -17,3 +17,4 @@ from fnssl_tpu.data.segments import (
     pad_segments, split_segments, merge_segments)
 from fnssl_tpu.data.locata import LocataDataset
 from fnssl_tpu.data.realman import RealData, collate_realman
+from fnssl_tpu.data.loader import DataLoader, prefetch_to_device

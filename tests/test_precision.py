@@ -122,3 +122,37 @@ def test_bf16_ipdnet2_spatialnet():
     assert loss.dtype == jnp.float32 and bool(jnp.isfinite(loss))
     assert all(g.dtype == jnp.float32
                for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_bf16_ipdnet2_task_tracks_fp32():
+    """The bf16 policy composes with the IPDnet2 near-field task (the
+    fused preprocess keeps targets fp32; only model compute drops)."""
+    from fnssl_tpu.data.arrays import audiowu_high_array_geometry
+    from fnssl_tpu.models.spatialnet import init_spatialnet_params
+    from fnssl_tpu.train.tasks import make_ipdnet2_task
+
+    rng = np.random.default_rng(0)
+    mic = audiowu_high_array_geometry()[[0, 1, 3, 5, 7]]
+    batch = {
+        "mic_sig": rng.standard_normal((1, 8000, 5)).astype(np.float32),
+        "azi_deg": rng.uniform(0, 180, (1, 5, 2)).astype(np.float32),
+        "distance": rng.uniform(0.5, 3.0, (1, 5, 2)).astype(np.float32),
+        "vad": np.ones((1, 5, 2), np.float32),
+        "mic_pos": mic[None].astype(np.float32),
+    }
+    losses = {}
+    for prec in ("fp32", "bf16"):
+        task = make_ipdnet2_task(precision=prec)
+        params = init_spatialnet_params(jax.random.PRNGKey(0), task.cfg)
+        tx = make_optimizer("adamw", 5e-4, 0.975, 1, grad_clip=5.0)
+        state = init_train_state(params, tx)
+        step = make_train_step(task.loss_fn, tx, donate=False)
+        ls = []
+        for i in range(3):
+            state, loss = step(state, batch, None)
+            ls.append(float(loss))
+        losses[prec] = ls
+    assert all(np.isfinite(losses["bf16"]))
+    assert losses["bf16"][-1] < losses["bf16"][0]   # it learns
+    np.testing.assert_allclose(losses["bf16"], losses["fp32"],
+                               rtol=0.05, atol=0.02)

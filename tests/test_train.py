@@ -126,7 +126,8 @@ def _state_avals(tree):
                 jax.tree.map(jax.api_util.shaped_abstractify, tree))[0]]
 
 
-@pytest.mark.parametrize("which", ["fnssl", "ipdnet", "ipdnet2"])
+@pytest.mark.parametrize("which", ["fnssl", "ipdnet", "ipdnet_offline",
+                                   "variable_ipdnet", "ipdnet2"])
 def test_train_step_signature_stable(which):
     """One optimizer step must not change the abstract signature of the
     train state (shape/dtype/weak_type of every leaf). A weak-typed param
@@ -142,11 +143,23 @@ def test_train_step_signature_stable(which):
         params = init_fnssl_params(jax.random.PRNGKey(0), task.cfg)
         tx = make_optimizer("adam", 1e-3, 0.8988, 1)
         batch = synthetic_fnssl_batch(nb=1, t_s=0.25)
-    elif which == "ipdnet":
+    elif which in ("ipdnet", "ipdnet_offline"):
         from fnssl_tpu.models.ipdnet import init_ipdnet_params
-        from fnssl_tpu.train.tasks import make_ipdnet_task
-        task = make_ipdnet_task()
+        from fnssl_tpu.train.tasks import (make_ipdnet_offline_task,
+                                           make_ipdnet_task)
+        task = (make_ipdnet_task() if which == "ipdnet"
+                else make_ipdnet_offline_task())
         params = init_ipdnet_params(jax.random.PRNGKey(0), task.cfg)
+        tx = make_optimizer("adam", 5e-4, 0.975, 1)
+        batch = {"mic_sig": np.zeros((1, 4000, 2), np.float32),
+                 "doa": np.zeros((1, 2, 2, 2), np.float32),
+                 "vad": np.ones((1, 2, 2), np.float32)}
+    elif which == "variable_ipdnet":
+        from fnssl_tpu.models.ipdnet import init_variable_ipdnet_params
+        from fnssl_tpu.train.tasks import make_variable_ipdnet_task
+        task = make_variable_ipdnet_task()
+        params = init_variable_ipdnet_params(jax.random.PRNGKey(0),
+                                             task.cfg)
         tx = make_optimizer("adam", 5e-4, 0.975, 1)
         batch = {"mic_sig": np.zeros((1, 4000, 2), np.float32),
                  "doa": np.zeros((1, 2, 2, 2), np.float32),
