@@ -61,12 +61,21 @@ def forgetting_norm_streaming(
     i = state.frame0 + jnp.arange(nt, dtype=jnp.float32)
     alp = jnp.minimum((i - 1.0) / (i + 1.0), alpha)  # (nt,)
 
-    def step(mu, inp):
-        a, m = inp
-        mu = a * mu + (1.0 - a) * m
-        return mu, mu
+    # The recurrence mu_i = a_i·mu_{i-1} + (1-a_i)·m_i is linear, so it
+    # composes associatively: element (A, B) represents mu ↦ A·mu + B.
+    # A log-depth associative scan replaces nt sequential steps — the
+    # sequential scan on these tiny (nb,) carries is pure dispatch
+    # latency on TPU (~10 ms at nt=201; this path is <1 ms).
+    def combine(e1, e2):
+        a1, b1 = e1
+        a2, b2 = e2
+        return a1 * a2, a2 * b1 + b2
 
-    mu_last, mus = jax.lax.scan(step, state.mu, (alp, frame_mean.T))
+    a = jnp.broadcast_to(alp[:, None], (nt, nb))
+    b = (1.0 - alp)[:, None] * frame_mean.T
+    acc_a, acc_b = jax.lax.associative_scan(combine, (a, b), axis=0)
+    mus = acc_a * state.mu[None, :] + acc_b          # (nt, nb)
+    mu_last = mus[-1]
     out = mus.T.reshape(nb, 1, 1, nt)
     new_state = ForgettingNormState(mu=mu_last,
                                     frame0=state.frame0 + nt)
