@@ -88,3 +88,35 @@ def host_local_slice(num_items: int, epoch: int, seed: int = 2,
         item_seeds = np.concatenate([item_seeds, item_seeds[:pad]])
     return [(int(order[i]), int(item_seeds[i]))
             for i in range(rank, total, world)]
+
+
+FREQ_AXIS = "freq"
+
+
+def make_mesh_2d(n_data: int, n_freq: int, devices=None,
+                 axis_names: tuple[str, str] = (DATA_AXIS, FREQ_AXIS)
+                 ) -> Mesh:
+    """2-D (data × freq) mesh — model/sequence parallelism over the
+    frequency axis, beyond the reference's DDP-only story (SURVEY §2.9).
+
+    The narrow-band architecture makes frequency the natural second
+    sharding axis: IPDnet2's time modules run per frequency band
+    (independent), its grouped frequency convolutions need only a k-wide
+    halo, and the full-band module needs one gather over F. All of those
+    collectives are inserted by XLA's SPMD partitioner from sharding
+    annotations alone — no hand-written halo exchange (the
+    "annotate-and-let-XLA-partition" recipe).
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[:n_data * n_freq])
+    return Mesh(devices.reshape(n_data, n_freq), axis_names)
+
+
+def freq_sharded_input(mesh: Mesh, x,
+                       data_axis: str = DATA_AXIS,
+                       freq_axis: str = FREQ_AXIS):
+    """Place a (nb, C, nf, nt) network input batch-sharded on ``data``
+    and frequency-sharded on ``freq`` (the run_IPDnet2 input layout)."""
+    return jax.device_put(
+        x, NamedSharding(mesh, P(data_axis, None, freq_axis, None)))
