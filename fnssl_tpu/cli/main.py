@@ -51,6 +51,11 @@ def _add_common(p):
                         "DataLoader num_workers analogue, Train.py:94-101")
     p.add_argument("--prefetch", type=int, default=2,
                    help="batches kept in flight ahead of the train step")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture a jax.profiler device trace of the "
+                        "first N epochs into <log-dir>/profile "
+                        "(TensorBoard/Perfetto-viewable; the reference "
+                        "only reports FLOPs, SURVEY §5.1)")
 
 
 def build_parser():
@@ -275,7 +280,18 @@ def cmd_fit(args):
         valid_fn = lambda e: _batches(args.valid_dir, args.bz, 0,  # noqa
                                       args.seed, False, pad,
                                       args.workers, args.prefetch)
-    history = learner.fit(train_fn, valid_fn, epochs=args.epochs)
+    if getattr(args, "profile", 0) > 0:
+        from fnssl_tpu.utils.profiling import trace
+
+        with trace(os.path.join(args.log_dir, "profile")):
+            history = learner.fit(train_fn, valid_fn,
+                                  epochs=min(args.profile, args.epochs))
+        if args.epochs > args.profile:
+            history2 = learner.fit(train_fn, valid_fn, epochs=args.epochs)
+            for k in history:
+                history[k].extend(history2[k])
+    else:
+        history = learner.fit(train_fn, valid_fn, epochs=args.epochs)
     learner.close()
     print(json.dumps({"final_train": history["train"][-1],
                       "final_valid": history["valid"][-1],

@@ -31,13 +31,18 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, epoch: int, state: Any, valid_loss: float):
+        """Async save: orbax copies device→host before returning (safe
+        with donated buffers), then writes to disk in the background so
+        serialization overlaps the next epoch's training. The previous
+        save is drained first; restore/close also drain."""
+        self._mgr.wait_until_finished()
         self._mgr.save(
             epoch, args=ocp.args.StandardSave(state),
             metrics={"valid_loss": float(valid_loss)})
-        self._mgr.wait_until_finished()
 
     def restore(self, state_template: Any, epoch: int | None = None):
         """Restore latest (or given) epoch into the template's structure."""
+        self._mgr.wait_until_finished()
         step = self._mgr.latest_step() if epoch is None else epoch
         if step is None:
             return None, None
@@ -46,6 +51,7 @@ class CheckpointManager:
         return restored, step
 
     def best_epoch(self) -> int | None:
+        self._mgr.wait_until_finished()
         return self._mgr.best_step()
 
     def close(self):
