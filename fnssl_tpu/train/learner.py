@@ -83,14 +83,21 @@ class Learner:
         return self.epoch
 
     def train_epoch(self, batches: Iterable) -> float:
+        from fnssl_tpu.utils.logging import ProgressLine
+
         ema = EmaLoss()
         last = 0.0
         t0 = time.time()
+        progress = ProgressLine(
+            self.epoch, total=len(batches) if hasattr(batches, "__len__")
+            else None)
         for i, batch in enumerate(batches):
             self.rng, sub = jax.random.split(self.rng)
             self.state, loss = self.train_step(
                 self.state, self._place(batch), sub)
             last = ema.update(float(loss))
+            progress.update(last)
+        progress.close()
         self.logger.log("train/loss", last, self.epoch)
         self.logger.log("train/epoch_s", time.time() - t0, self.epoch)
         return last

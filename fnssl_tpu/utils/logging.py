@@ -69,6 +69,43 @@ class EmaLoss:
         return self._acc / (1 - self.beta ** self._count)
 
 
+class ProgressLine:
+    """Single-line in-place epoch progress (the reference's
+    progress-bar slot, Lightning/utils/my_rich_progress_bar.py) —
+    batches/s + EMA loss, TTY-only so logs stay clean under nohup/CI."""
+
+    def __init__(self, epoch: int, total: int | None = None):
+        import sys
+        import time as _t
+
+        self.epoch = epoch
+        self.total = total
+        self.t0 = _t.monotonic()
+        self.n = 0
+        self._tty = sys.stderr.isatty()
+
+    def update(self, loss: float):
+        import sys
+        import time as _t
+
+        self.n += 1
+        if not self._tty:
+            return
+        dt = max(_t.monotonic() - self.t0, 1e-9)
+        frac = f"{self.n}/{self.total}" if self.total else f"{self.n}"
+        sys.stderr.write(
+            f"\repoch {self.epoch} [{frac}] {self.n / dt:5.1f} it/s "
+            f"loss {loss:.5f} ")
+        sys.stderr.flush()
+
+    def close(self):
+        import sys
+
+        if self._tty and self.n:
+            sys.stderr.write("\n")
+            sys.stderr.flush()
+
+
 def set_seed(seed: int):
     """Seed the host RNGs (numpy global + python random). JAX randomness
     is functional (explicit keys), so nothing to do there."""

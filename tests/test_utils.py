@@ -72,3 +72,30 @@ def test_time_fn_syncs():
     f = jax.jit(lambda x: x * 2)
     out = time_fn(f, jnp.ones((8, 8)), iters=3)
     assert out["mean_s"] > 0 and out["iters"] == 3
+
+
+def test_progress_line_tty_and_plain(capsys, monkeypatch):
+    import io
+    import sys
+
+    from fnssl_tpu.utils.logging import ProgressLine
+
+    # non-TTY: silent
+    p = ProgressLine(0, total=4)
+    p.update(0.5), p.close()
+    assert capsys.readouterr().err == ""
+
+    # TTY: writes in-place updates then a newline
+    class FakeTTY(io.StringIO):
+        def isatty(self):
+            return True
+
+    fake = FakeTTY()
+    monkeypatch.setattr(sys, "stderr", fake)
+    p = ProgressLine(3, total=2)
+    p.update(0.25)
+    p.update(0.125)
+    p.close()
+    out = fake.getvalue()
+    assert out.count("\r") == 2 and out.endswith("\n")
+    assert "epoch 3 [2/2]" in out and "0.12500" in out
