@@ -55,15 +55,19 @@ def collate_segmented(items, pool: int = 12, pad_tracks: int | None = None):
     reference's fixed-shape gt padding, IPDnet/Dataset.py:518-534) so
     1-source data trains multi-track PIT models.
     """
+    def pad(a):
+        # per-item pad (before stacking): batches may mix source counts
+        # when num_source is sampled per scene (IPDnet/Dataset.py:518-534
+        # pads each item to a fixed track count for exactly this reason)
+        if pad_tracks is not None and a.shape[-1] < pad_tracks:
+            extra = pad_tracks - a.shape[-1]
+            a = np.concatenate(
+                [a, np.zeros(a.shape[:-1] + (extra,), a.dtype)], -1)
+        return a
+
     mic = np.stack([x for x, _ in items]).astype(np.float32)
-    doa = np.stack([g["doa"] for _, g in items]).astype(np.float32)
+    doa = np.stack([pad(g["doa"]) for _, g in items]).astype(np.float32)
     # (nb, nseg, 2, ns); vad windows (nb, nseg, K, ns) → mean over K
-    vad = np.stack([g["vad_sources"] for _, g in items])
+    vad = np.stack([pad(g["vad_sources"]) for _, g in items])
     vad = vad.mean(axis=2).astype(np.float32)
-    if pad_tracks is not None and doa.shape[-1] < pad_tracks:
-        extra = pad_tracks - doa.shape[-1]
-        doa = np.concatenate(
-            [doa, np.zeros(doa.shape[:-1] + (extra,), doa.dtype)], -1)
-        vad = np.concatenate(
-            [vad, np.zeros(vad.shape[:-1] + (extra,), vad.dtype)], -1)
     return {"mic_sig": mic, "doa": doa, "vad": vad}

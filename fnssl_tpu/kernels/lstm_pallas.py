@@ -241,7 +241,11 @@ def lstm_fused_scan(x, w_ih, w_hh, bias, h0, c0, reverse: bool = False):
     (all MXU-shaped matmuls) for that memory.
     """
     hidden = w_hh.shape[-1]
-    if (not pallas_available()
+    # hidden must align to the 128-lane Mosaic tiling: the kernel's
+    # (2, block_b, hidden) double-buffer slot slices fail to compile
+    # otherwise ("Slice shape along dimension 2 must be aligned to
+    # tiling (128), but is 64" — IPDnet's 64-hidden full-band LSTM)
+    if (not pallas_available() or hidden % 128 != 0
             or _auto_block_b(hidden, x.dtype.itemsize) is None):
         return _scan_reference(x, w_ih, w_hh, bias, h0, c0, reverse)
     xg = x @ w_ih.T + bias                      # (B, T, 4H) big MXU matmul

@@ -159,3 +159,22 @@ def test_native_vad_matches_numpy(rng):
     # frames; require ≥99% agreement
     agree = np.mean(got[: n * flen] == expected)
     assert agree > 0.99, agree
+
+
+def test_collate_segmented_mixed_source_counts():
+    """A batch mixing 1- and 2-source items must pad per item (the
+    reference pads per item, IPDnet/Dataset.py:518-534)."""
+    from fnssl_tpu.data import collate_segmented
+
+    def item(ns):
+        sig = np.zeros((800, 2), np.float32)
+        gt = {"doa": np.ones((3, 2, ns), np.float32),
+              "vad_sources": np.ones((3, 5, ns), np.float32)}
+        return sig, gt
+
+    batch = collate_segmented([item(1), item(2)], pad_tracks=2)
+    assert batch["doa"].shape == (2, 3, 2, 2)
+    assert batch["vad"].shape == (2, 3, 2)
+    assert (batch["doa"][0, :, :, 1] == 0).all()   # padded track zeroed
+    assert (batch["vad"][0, :, 1] == 0).all()
+    assert (batch["vad"][1] == 1).all()
