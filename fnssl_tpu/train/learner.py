@@ -72,6 +72,17 @@ class Learner:
     def _place(self, batch):
         return shard_batch(batch, self.mesh) if self.mesh else batch
 
+    def _placed_stream(self, batches):
+        """Device-prefetched batch stream: transfers for batch t+1 start
+        while batch t computes. The mesh path keeps per-batch
+        ``shard_batch`` (multi-process assembly needs
+        make_array_from_process_local_data, not a plain device_put)."""
+        if self.mesh is not None:
+            return (self._place(b) for b in batches)
+        from fnssl_tpu.data.loader import prefetch_to_device
+
+        return prefetch_to_device(batches, size=2)
+
     def resume(self):
         """Restore the latest checkpoint if one exists."""
         restored, step = self.ckpt.restore(self.state)
@@ -91,10 +102,9 @@ class Learner:
         progress = ProgressLine(
             self.epoch, total=len(batches) if hasattr(batches, "__len__")
             else None)
-        for i, batch in enumerate(batches):
+        for i, batch in enumerate(self._placed_stream(batches)):
             self.rng, sub = jax.random.split(self.rng)
-            self.state, loss = self.train_step(
-                self.state, self._place(batch), sub)
+            self.state, loss = self.train_step(self.state, batch, sub)
             last = ema.update(float(loss))
             progress.update(last)
         progress.close()
