@@ -28,7 +28,8 @@ import numpy as np
 def _add_common(p):
     p.add_argument("--model", default="fnssl",
                    choices=["fnssl", "fnssl_doa", "ipdnet",
-                            "variable_ipdnet", "ipdnet2"])
+                            "ipdnet_offline", "variable_ipdnet",
+                            "ipdnet2"])
     p.add_argument("--log-dir", default="runs/default")
     p.add_argument("--config", default=None,
                    help="YAML file of argument defaults")
@@ -142,6 +143,11 @@ def _make_task(name: str, args=None):
         return tasks.make_fnssl_task(FNSSLConfig(is_doa=True), **pol)
     if name == "ipdnet":
         return tasks.make_ipdnet_task(**pol)
+    if name == "ipdnet_offline":
+        # bidirectional narrow LSTMs + global magnitude norm
+        # (runIPDnetOff.py:79-303); test-time uses chunked offline
+        # inference via models/ipdnet.py's chunk path
+        return tasks.make_ipdnet_offline_task(**pol)
     if name == "variable_ipdnet":
         return tasks.make_variable_ipdnet_task(**pol)
     if name == "ipdnet2":
@@ -161,7 +167,7 @@ def _init_params(name: str, task, seed: int):
     if name.startswith("fnssl"):
         from fnssl_tpu.models.fnssl import init_fnssl_params
         return init_fnssl_params(key, task.cfg)
-    if name == "ipdnet":
+    if name in ("ipdnet", "ipdnet_offline"):
         from fnssl_tpu.models.ipdnet import init_ipdnet_params
         return init_ipdnet_params(key, task.cfg)
     if name == "variable_ipdnet":
@@ -251,7 +257,8 @@ def cmd_fit(args):
     task = _make_task(args.model, args)
     params = _init_params(args.model, task, args.seed)
     defaults = {"fnssl": (1e-3, 0.8988), "fnssl_doa": (1e-3, 0.8988),
-                "ipdnet": (5e-4, 0.975), "variable_ipdnet": (5e-4, 0.975),
+                "ipdnet": (5e-4, 0.975), "ipdnet_offline": (5e-4, 0.975),
+                "variable_ipdnet": (5e-4, 0.975),
                 "ipdnet2": (5e-4, 0.975)}
     lr, gamma = defaults[args.model]
     learner = Learner(

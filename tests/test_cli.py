@@ -40,3 +40,23 @@ def test_cli_lifecycle(workdir, capsys):
     pred = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert os.path.exists("pred/doa_est.npy")
     assert pred["frames"] >= 1
+
+
+def test_cli_ipdnet_offline_fit(workdir, capsys):
+    """The offline IPDnet variant (bidirectional narrow LSTMs, global
+    norm, runIPDnetOff.py) trains and restores via the CLI."""
+    if not os.path.exists("data/train"):
+        main(["simulate", "--out", "data/train", "--num", "3", "--T",
+              "0.5", "--nb-points", "4", "--seed", "1"])
+        main(["simulate", "--out", "data/dev", "--num", "2", "--T",
+              "0.5", "--nb-points", "4", "--seed", "77"])
+    capsys.readouterr()
+    main(["fit", "--model", "ipdnet_offline", "--train-dir", "data/train",
+          "--valid-dir", "data/dev", "--epochs", "1", "--bz", "1",
+          "--log-dir", "runs/off"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(result["final_valid"])
+    main(["test", "--model", "ipdnet_offline", "--data-dir", "data/dev",
+          "--bz", "1", "--log-dir", "runs/off"])
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(metrics["loss"] - result["final_valid"]) < 1e-6
