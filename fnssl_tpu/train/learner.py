@@ -102,12 +102,26 @@ class Learner:
         progress = ProgressLine(
             self.epoch, total=len(batches) if hasattr(batches, "__len__")
             else None)
+        # Interactive runs fetch each loss for the live display; batch
+        # runs defer every fetch to ONE stacked epoch-end transfer —
+        # per-step scalar fetches are a full host↔device round trip
+        # (~30 ms on a tunneled chip), which serializes the pipeline.
+        live = progress.visible
+        pending = []
         for i, batch in enumerate(self._placed_stream(batches)):
             self.rng, sub = jax.random.split(self.rng)
             self.state, loss = self.train_step(self.state, batch, sub)
-            last = ema.update(float(loss))
-            progress.update(last)
+            if live:
+                last = ema.update(float(loss))
+                progress.update(last)
+            else:
+                pending.append(loss)
         progress.close()
+        if pending:
+            import jax.numpy as jnp
+
+            for v in np.asarray(jnp.stack(pending), np.float32):
+                last = ema.update(float(v))
         self.logger.log("train/loss", last, self.epoch)
         self.logger.log("train/epoch_s", time.time() - t0, self.epoch)
         return last

@@ -84,6 +84,10 @@ class ProgressLine:
         self.n = 0
         self._tty = sys.stderr.isatty()
 
+    @property
+    def visible(self) -> bool:
+        return self._tty
+
     def update(self, loss: float):
         import sys
         import time as _t
