@@ -131,17 +131,26 @@ class Learner:
         # Per-sample weighting: a ragged last batch must not bias the
         # epoch mean (the reference accumulates per-sample; this number
         # drives top-k checkpoint ranking).
-        losses, weights, metrics_acc = [], [], []
+        dev_losses, weights, metrics_acc = [], [], []
         for batch in batches:
-            loss = float(self.eval_step(self.state.params,
-                                        self._place(batch)))
-            if detect_infnan(loss, f"{split}/loss"):
-                continue
-            losses.append(loss)
+            # device scalar kept on device; one stacked fetch below
+            # (a per-batch fetch is a host↔device round trip each time)
+            dev_losses.append(self.eval_step(self.state.params,
+                                             self._place(batch)))
             weights.append(float(len(jax.tree_util.tree_leaves(batch)[0])))
             if self.metric_fn is not None:
                 metrics_acc.append(self.metric_fn(self.state.params, batch))
-        w = np.asarray(weights)
+        if not dev_losses:
+            return {"loss": float("nan")}
+        import jax.numpy as jnp
+
+        fetched = np.asarray(jnp.stack(dev_losses), np.float32)
+        keep = [i for i, v in enumerate(fetched)
+                if not detect_infnan(float(v), f"{split}/loss")]
+        losses = fetched[keep]
+        w = np.asarray(weights)[keep]
+        metrics_acc = ([metrics_acc[i] for i in keep] if metrics_acc
+                       else metrics_acc)
         out = {"loss": float(np.average(losses, weights=w))}
         if metrics_acc:
             for k in metrics_acc[0]:
