@@ -79,3 +79,30 @@ def test_learner_early_stops(tmp_path):
     # lr=0 → no improvement → stops after patience+1 epochs
     assert len(hist["valid"]) == 2
     learner.close()
+
+
+def test_eval_epoch_empty_and_nan_filtering(tmp_path):
+    """The stacked-fetch eval loop: empty iterables yield nan; non-finite
+    batch losses are filtered out of the weighted mean."""
+    import jax.numpy as jnp
+
+    from fnssl_tpu.train.learner import Learner
+
+    calls = {"n": 0}
+
+    def loss_fn(params, batch, rng):
+        calls["n"] += 1
+        return jnp.asarray(batch["v"]).sum()
+
+    lrn = Learner(loss_fn, {"w": jnp.zeros((2,))},
+                  log_dir=str(tmp_path / "run"))
+    out = lrn.eval_epoch([], split="test")
+    assert np.isnan(out["loss"])
+
+    batches = [{"v": np.array([1.0, 1.0], np.float32)},
+               {"v": np.array([np.inf], np.float32)},
+               {"v": np.array([2.0], np.float32)}]
+    out = lrn.eval_epoch(batches, split="test")
+    # weighted mean over finite batches: (2.0*2 + 2.0*1)/3
+    np.testing.assert_allclose(out["loss"], 2.0, rtol=1e-6)
+    lrn.close()
