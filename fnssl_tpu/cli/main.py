@@ -290,10 +290,12 @@ def cmd_fit(args):
     if getattr(args, "profile", 0) > 0:
         from fnssl_tpu.utils.profiling import trace
 
+        profiled = min(args.profile, args.epochs)
         with trace(os.path.join(args.log_dir, "profile")):
-            history = learner.fit(train_fn, valid_fn,
-                                  epochs=min(args.profile, args.epochs))
-        if args.epochs > args.profile:
+            history = learner.fit(train_fn, valid_fn, epochs=profiled)
+        # continue only if the profiled fit ran to its epoch budget —
+        # early stopping / SIGTERM during it means the run is over
+        if args.epochs > profiled and learner.epoch >= profiled:
             history2 = learner.fit(train_fn, valid_fn, epochs=args.epochs)
             for k in history:
                 history[k].extend(history2[k])

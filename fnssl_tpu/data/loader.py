@@ -82,39 +82,46 @@ class DataLoader:
                 yield self._assemble(entries)
             return
         # Submission order == yield order: determinism by construction.
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            pending = collections.deque()
-            entry_iter = self._batch_entries()
-            try:
-                for entries in entry_iter:
-                    pending.append(pool.submit(self._assemble, entries))
-                    if len(pending) > self.prefetch:
-                        break
-                while pending:
-                    batch = pending.popleft().result()
-                    nxt = next(entry_iter, None)
-                    if nxt is not None:
-                        pending.append(pool.submit(self._assemble, nxt))
-                    yield batch
-            finally:
-                for f in pending:   # consumer bailed early: drop the tail
-                    f.cancel()
+        pool = ThreadPoolExecutor(self.num_workers)
+        pending = collections.deque()
+        entry_iter = self._batch_entries()
+        try:
+            for entries in entry_iter:
+                pending.append(pool.submit(self._assemble, entries))
+                if len(pending) > self.prefetch:
+                    break
+            while pending:
+                batch = pending.popleft().result()
+                nxt = next(entry_iter, None)
+                if nxt is not None:
+                    pending.append(pool.submit(self._assemble, nxt))
+                yield batch
+            pool.shutdown(wait=True)
+        finally:
+            # Consumer bailed early (break / KeyboardInterrupt): drop
+            # queued work and do NOT wait for in-flight assemblies —
+            # an on-the-fly ISM fetch can hold the pool for seconds.
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def prefetch_to_device(batches: Iterable, size: int = 2,
-                       sharding=None) -> Iterator:
+                       sharding=None, put: Callable | None = None
+                       ) -> Iterator:
     """Keep ``size`` batches resident on the accelerator ahead of the
     consumer, so host→HBM transfers overlap the device step.
 
     ``sharding`` (e.g. a data-axis ``NamedSharding``) places each batch
     directly in its distributed layout — the DP analogue of the
-    reference's ``pin_memory`` + ``.cuda(non_blocking=True)``.
+    reference's ``pin_memory`` + ``.cuda(non_blocking=True)``. A custom
+    ``put`` callable overrides placement entirely (e.g. ``shard_batch``
+    for multi-process global-array assembly).
     """
     import jax
 
-    def put(b):
-        return jax.device_put(b, sharding) if sharding is not None \
-            else jax.device_put(b)
+    if put is None:
+        def put(b):
+            return jax.device_put(b, sharding) if sharding is not None \
+                else jax.device_put(b)
 
     queue = collections.deque()
     for b in batches:

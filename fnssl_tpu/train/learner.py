@@ -64,6 +64,9 @@ class Learner:
         self.metric_fn = metric_fn
         self.early_stopping = early_stopping or EarlyStopping()
         self.epoch = 0
+        # deferred-loss flush interval: bounds live device buffers in
+        # long epochs (the reference's epochs reach ~10k steps)
+        self.fetch_chunk = 512
         self.rng = jax.random.PRNGKey(seed)
         self.mesh = make_mesh() if use_mesh else None
         if self.mesh is not None:
@@ -74,13 +77,15 @@ class Learner:
 
     def _placed_stream(self, batches):
         """Device-prefetched batch stream: transfers for batch t+1 start
-        while batch t computes. The mesh path keeps per-batch
+        while batch t computes. The mesh path prefetches through
         ``shard_batch`` (multi-process assembly needs
-        make_array_from_process_local_data, not a plain device_put)."""
-        if self.mesh is not None:
-            return (self._place(b) for b in batches)
+        make_array_from_process_local_data, not a plain device_put —
+        both dispatch transfers asynchronously, so the lookahead
+        overlaps host→HBM with the device step either way)."""
         from fnssl_tpu.data.loader import prefetch_to_device
 
+        if self.mesh is not None:
+            return prefetch_to_device(batches, size=2, put=self._place)
         return prefetch_to_device(batches, size=2)
 
     def resume(self):
@@ -103,11 +108,25 @@ class Learner:
             self.epoch, total=len(batches) if hasattr(batches, "__len__")
             else None)
         # Interactive runs fetch each loss for the live display; batch
-        # runs defer every fetch to ONE stacked epoch-end transfer —
-        # per-step scalar fetches are a full host↔device round trip
-        # (~30 ms on a tunneled chip), which serializes the pipeline.
+        # runs defer fetches to stacked transfers — per-step scalar
+        # fetches are a full host↔device round trip (~30 ms on a
+        # tunneled chip), which serializes the pipeline. Deferred
+        # fetches flush every ``fetch_chunk`` steps so a 10k-step epoch
+        # holds at most ``fetch_chunk`` live device buffers (the flush
+        # blocks only on step i-fetch_chunk, which has long finished).
         live = progress.visible
-        pending = []
+        pending: list = []
+        host_vals: list[float] = []
+        self._max_pending = 0
+
+        def _flush():
+            if pending:
+                import jax.numpy as jnp
+
+                host_vals.extend(
+                    np.asarray(jnp.stack(pending), np.float32).tolist())
+                pending.clear()
+
         for i, batch in enumerate(self._placed_stream(batches)):
             self.rng, sub = jax.random.split(self.rng)
             self.state, loss = self.train_step(self.state, batch, sub)
@@ -116,12 +135,13 @@ class Learner:
                 progress.update(last)
             else:
                 pending.append(loss)
+                self._max_pending = max(self._max_pending, len(pending))
+                if len(pending) >= self.fetch_chunk:
+                    _flush()
         progress.close()
-        if pending:
-            import jax.numpy as jnp
-
-            for v in np.asarray(jnp.stack(pending), np.float32):
-                last = ema.update(float(v))
+        _flush()
+        for v in host_vals:
+            last = ema.update(v)
         self.logger.log("train/loss", last, self.epoch)
         self.logger.log("train/epoch_s", time.time() - t0, self.epoch)
         return last
@@ -147,6 +167,10 @@ class Learner:
         fetched = np.asarray(jnp.stack(dev_losses), np.float32)
         keep = [i for i, v in enumerate(fetched)
                 if not detect_infnan(float(v), f"{split}/loss")]
+        if not keep:
+            # Every batch diverged: report NaN and keep training (the
+            # filtering exists to survive divergence, not crash on it).
+            return {"loss": float("nan")}
         losses = fetched[keep]
         w = np.asarray(weights)[keep]
         metrics_acc = ([metrics_acc[i] for i in keep] if metrics_acc
@@ -154,8 +178,12 @@ class Learner:
         out = {"loss": float(np.average(losses, weights=w))}
         if metrics_acc:
             for k in metrics_acc[0]:
-                out[k] = float(np.average([m[k] for m in metrics_acc],
-                                          weights=w))
+                # metric values may be vectors (e.g. multi-entry ae_mode):
+                # average along the batch axis only, fold scalars to float
+                avg = np.average(
+                    np.asarray([m[k] for m in metrics_acc], np.float64),
+                    axis=0, weights=w)
+                out[k] = float(avg) if avg.ndim == 0 else avg.tolist()
         self.logger.log_dict(out, self.epoch, prefix=f"{split}/")
         return out
 

@@ -106,3 +106,71 @@ def test_eval_epoch_empty_and_nan_filtering(tmp_path):
     # weighted mean over finite batches: (2.0*2 + 2.0*1)/3
     np.testing.assert_allclose(out["loss"], 2.0, rtol=1e-6)
     lrn.close()
+
+
+def test_eval_epoch_all_nan_returns_nan(tmp_path):
+    """A fully-diverged eval epoch reports NaN instead of crashing fit
+    ('Weights sum to zero' regression): the filtering exists to survive
+    divergence."""
+    import jax.numpy as jnp
+
+    def loss_fn(params, batch, rng):
+        return jnp.asarray(batch["v"]).sum()
+
+    lrn = Learner(loss_fn, {"w": jnp.zeros((2,))},
+                  log_dir=str(tmp_path / "run"))
+    batches = [{"v": np.array([np.nan], np.float32)},
+               {"v": np.array([np.inf, 1.0], np.float32)}]
+    out = lrn.eval_epoch(batches, split="test")
+    assert np.isnan(out["loss"])
+    lrn.close()
+
+
+def test_eval_epoch_vector_metrics(tmp_path):
+    """metric_fn values may be vectors (multi-entry ae_mode): the epoch
+    average runs along the batch axis and keeps the vector shape."""
+    import jax.numpy as jnp
+
+    def loss_fn(params, batch, rng):
+        return jnp.asarray(batch["v"]).sum() * 0.0
+
+    def metric_fn(params, batch):
+        n = len(batch["v"])
+        return {"MAE": [10.0 * n, 20.0 * n], "ACC": 0.5}
+
+    lrn = Learner(loss_fn, {"w": jnp.zeros((2,))},
+                  log_dir=str(tmp_path / "run"), metric_fn=metric_fn)
+    batches = [{"v": np.zeros(2, np.float32)},
+               {"v": np.zeros(1, np.float32)}]
+    out = lrn.eval_epoch(batches, split="test")
+    # weights 2 and 1: (2*[20,40] + 1*[10,20]) / 3
+    np.testing.assert_allclose(out["MAE"], [50 / 3, 100 / 3], rtol=1e-6)
+    np.testing.assert_allclose(out["ACC"], 0.5)
+    lrn.close()
+
+
+def test_train_epoch_10k_steps_bounded_fetch(tmp_path, monkeypatch):
+    """Scale-proof the epoch loop (reference epochs reach ~10k steps,
+    FN-SSL/Train.py:46-55): deferred loss fetches flush in chunks, so
+    pending device buffers stay bounded by fetch_chunk and the epoch
+    mean matches the serial computation."""
+    import jax.numpy as jnp
+
+    def loss_fn(params, batch, rng):
+        return (params["w"] * batch["v"]).sum()
+
+    lrn = Learner(loss_fn, {"w": jnp.ones(())}, lr=0.0, lr_gamma=1.0,
+                  log_dir=str(tmp_path / "run"))
+    lrn.fetch_chunk = 256
+    # non-TTY path is the deferred one (tests run non-interactive)
+    n = 10_000
+    vals = np.arange(n, dtype=np.float32) % 7
+    batches = [{"v": np.array(v)} for v in vals]
+    out = lrn.train_epoch(batches)
+    assert lrn._max_pending <= 256
+    from fnssl_tpu.utils.logging import EmaLoss
+    ema = EmaLoss()
+    for v in vals:
+        expected = ema.update(float(v))
+    np.testing.assert_allclose(out, expected, rtol=1e-5)
+    lrn.close()

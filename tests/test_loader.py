@@ -93,6 +93,40 @@ def test_loader_early_break_cleans_up():
     np.testing.assert_array_equal(first[:, 0], [0, 1])
 
 
+def test_loader_early_break_does_not_block_on_inflight():
+    """Breaking out of the iterator must not wait for slow in-flight
+    assemblies (the old context-manager exit did shutdown(wait=True),
+    blocking up to prefetch+1 ISM fetches)."""
+    import time
+
+    def slow_fetch(i):
+        time.sleep(0.5)
+        return np.full((4,), i, np.float32)
+
+    dl = DataLoader(slow_fetch, list(range(40)), 2, _collate,
+                    num_workers=2, prefetch=4)
+    it = iter(dl)
+    next(it)
+    t0 = time.monotonic()
+    it.close()  # generator close → finally → non-blocking shutdown
+    assert time.monotonic() - t0 < 0.4
+
+
+def test_prefetch_to_device_custom_put():
+    """A custom ``put`` callable (the mesh shard_batch path) places every
+    batch and preserves order."""
+    placed = []
+
+    def put(b):
+        placed.append(b["x"][0])
+        return b
+
+    batches = [{"x": np.full((2,), i, np.float32)} for i in range(4)]
+    out = list(prefetch_to_device(iter(batches), size=2, put=put))
+    assert [int(b["x"][0]) for b in out] == [0, 1, 2, 3]
+    assert [int(v) for v in placed] == [0, 1, 2, 3]
+
+
 def test_prefetch_to_device_values_and_order():
     batches = [{"x": np.full((2,), i, np.float32)} for i in range(5)]
     out = list(prefetch_to_device(iter(batches), size=2))
