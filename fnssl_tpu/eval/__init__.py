@@ -1,6 +1,6 @@
 from fnssl_tpu.eval.decode import (
     DecodeResult, spatial_spectrum, idl_decode, pd_decode, mse_decode,
-    time_pool_ipd, template_ri)
+    time_pool_ipd, template_ri, track_associate)
 from fnssl_tpu.eval.metrics import (
     angular_error, get_metric_single, get_metric_multiple)
 from fnssl_tpu.eval.pred_doa import (

@@ -39,17 +39,59 @@ def spatial_spectrum(pred_ipd: jax.Array, template: jax.Array) -> jax.Array:
     return ss.reshape(nb, nt, nele, nazi)
 
 
+@functools.lru_cache(maxsize=None)
+def _perm_indices(ns: int) -> tuple:
+    import itertools
+
+    return tuple(itertools.permutations(range(ns)))
+
+
+@jax.jit
+def track_associate(doa: jax.Array) -> jax.Array:
+    """Frame-to-frame track association by permutation argmin — the
+    reference's dormant ``track_enable`` branch (FN-SSL/Module.py:623-644)
+    as a ``lax.scan`` over frames, vmapped over the batch.
+
+    ``doa``: (nb, nt, 2, ns) stacked (ele, azi). Sequentially, frame
+    t+1's tracks are reordered by the permutation minimizing the summed
+    absolute difference to frame t's (already reordered) tracks; the
+    azimuth row wraps via min(|d|, 2π−|d|). The reference deliberately
+    leaves the VADs unpermuted ("vad needs to adjust with doa
+    adjustment" — Module.py:622), which is replicated: callers permute
+    only the DOAs.
+    """
+    ns = doa.shape[-1]
+    perms = jnp.asarray(np.array(_perm_indices(ns), np.int32))
+
+    def step(prev, cur):                    # prev, cur: (2, ns)
+        cand = cur[:, perms]                # (2, n_perm, ns)
+        d1 = jnp.abs(cand - prev[:, None, :])
+        d2 = d1.at[1].set(2 * jnp.pi - d1[1])
+        best = jnp.argmin(jnp.minimum(d1, d2).sum(axis=(0, 2)))
+        out = cand[:, best, :]
+        return out, out
+
+    def assoc_one(seq):                     # (nt, 2, ns)
+        _, rest = jax.lax.scan(step, seq[0], seq[1:])
+        return jnp.concatenate([seq[:1], rest], axis=0)
+
+    return jax.vmap(assoc_one)(doa)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("max_num_sources", "source_num_mode"))
+                   static_argnames=("max_num_sources", "source_num_mode",
+                                    "track"))
 def idl_decode(pred_ipd: jax.Array, template: jax.Array,
                ele_candidate: jax.Array, azi_candidate: jax.Array,
                max_num_sources: int = 1,
-               source_num_mode: str = "unkNum") -> DecodeResult:
+               source_num_mode: str = "unkNum",
+               track: bool = False) -> DecodeResult:
     """Iterative detection & localization (Module.py:546-580, vectorized).
 
     Per source: argmax of the spatial spectrum, least-squares scale of the
     best template against the residual IPD, subtract, repeat.
-    VAD = LS ratio ('unkNum') or 1 ('kNum').
+    VAD = LS ratio ('unkNum') or 1 ('kNum'). ``track=True`` reassociates
+    tracks frame-to-frame (``track_associate``).
     """
     nb, nt, f, p = pred_ipd.shape
     nele, nazi = template.shape[:2]
@@ -73,16 +115,20 @@ def idl_decode(pred_ipd: jax.Array, template: jax.Array,
         vads.append(jnp.ones_like(ratio) if source_num_mode == "kNum"
                     else ratio)
 
-    return DecodeResult(jnp.stack(doas, axis=-1),   # (nb, nt, 2, ns)
-                        jnp.stack(vads, axis=-1), first_ss)
+    doa = jnp.stack(doas, axis=-1)                  # (nb, nt, 2, ns)
+    if track:
+        doa = track_associate(doa)
+    return DecodeResult(doa, jnp.stack(vads, axis=-1), first_ss)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_num_sources", "source_num_mode"))
+                   static_argnames=("max_num_sources", "source_num_mode",
+                                    "track"))
 def pd_decode(pred_ipd: jax.Array, template: jax.Array,
               ele_candidate: jax.Array, azi_candidate: jax.Array,
               max_num_sources: int = 2,
-              source_num_mode: str = "unkNum") -> DecodeResult:
+              source_num_mode: str = "unkNum",
+              track: bool = False) -> DecodeResult:
     """Peak detection: strict 8-neighbour maxima on the (ele, azi) grid
     (Module.py:582-621), circular in azimuth (last redundant column
     dropped), replicated at the elevation borders; top-k peaks by value.
@@ -118,6 +164,8 @@ def pd_decode(pred_ipd: jax.Array, template: jax.Array,
     ele_i, azi_i = idx // nazi_c, idx % nazi_c
     doa = jnp.stack([ele_candidate[ele_i], azi_candidate[azi_i]],
                     axis=2)                          # (nb, nt, 2, ns)
+    if track:
+        doa = track_associate(doa)
     vad = (jnp.ones_like(vals) if source_num_mode == "kNum" else vals)
     return DecodeResult(doa, vad, ss_full)
 

@@ -15,15 +15,22 @@ REFERENCE = Path("/root/reference")
 
 def load_reference_module(rel_path: str, name: str,
                           extra_sys_path: str | None = None,
-                          stub_modules: tuple[str, ...] = ()):
+                          stub_modules: tuple[str, ...] = (),
+                          patches: tuple[tuple[str, str], ...] = ()):
     """Exec a reference file as a module, normalizing tab indentation.
 
     ``stub_modules`` names deps absent from this container (gpuRIR,
     webrtcvad, soundfile): they are injected as empty placeholder modules
     so import succeeds; tests must not touch code paths using them.
+    ``patches`` are (old, new) source substitutions applied before exec —
+    used to switch on dormant reference branches (e.g. ``track_enable``)
+    as parity oracles.
     """
     src_path = REFERENCE / rel_path
     src = src_path.read_text()
+    for old, new in patches:
+        assert old in src, f"patch target not found in {rel_path}: {old!r}"
+        src = src.replace(old, new)
     # FN-SSL/Model.py:61 mixes a literal tab into space-indented code.
     src = src.replace("\n\tself.is_doa = is_doa",
                       "\n        self.is_doa = is_doa")

@@ -64,6 +64,57 @@ def test_pd_decode_matches_reference(ref_module, rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_track_associate_matches_reference_track_branch(rng):
+    """The dormant permutation tracker (track_enable branch,
+    FN-SSL/Module.py:623-644): the oracle is the reference exec'd with
+    the flag patched on; ours is ``track=True`` on idl_decode."""
+    from fnssl_tpu.eval import track_associate
+
+    ref_mod = load_reference_module(
+        "FN-SSL/Lightning/Module.py", "ref_module_tracked",
+        extra_sys_path="/root/reference/FN-SSL",
+        patches=(("track_enable = False", "track_enable = True"),))
+    pred, tmpl, ele, azi = _rand_decode_inputs(rng, nb=3, nt=12, f=24,
+                                               nele=5, nazi=17)
+    ref = ref_mod.SourceDetectLocalize(
+        max_num_sources=2, source_num_mode="unkNum", meth_mode="IDL")
+    r_doa, r_vad, _ = ref(torch.from_numpy(pred),
+                          torch.from_numpy(tmpl), [ele, azi])
+    res = idl_decode(jnp.asarray(pred), jnp.asarray(tmpl),
+                     jnp.asarray(ele), jnp.asarray(azi),
+                     max_num_sources=2, source_num_mode="unkNum",
+                     track=True)
+    np.testing.assert_allclose(np.asarray(res.doa), r_doa.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    # reference leaves VADs unpermuted; replicated
+    np.testing.assert_allclose(np.asarray(res.vad), r_vad.numpy(),
+                               rtol=1e-3, atol=1e-5)
+
+    # sequential carry property: the reordered frame (not the raw one)
+    # anchors the next association step — single-frame and identity cases
+    one = jnp.asarray(rng.standard_normal((2, 1, 2, 2)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(track_associate(one)),
+                                  np.asarray(one))
+    const = jnp.tile(jnp.asarray([[0.3], [1.2]])[None, None], (1, 6, 1, 1))
+    np.testing.assert_array_equal(np.asarray(track_associate(const)),
+                                  np.asarray(const))
+
+
+def test_track_associate_reorders_swapped_tracks():
+    """Two sources swapping slots mid-sequence get re-associated into
+    stable tracks (the capability the branch exists for)."""
+    from fnssl_tpu.eval import track_associate
+
+    nt = 8
+    a = np.stack([np.full(nt, 0.5), np.full(nt, 1.0)], -1)   # ele per src
+    b = np.stack([np.full(nt, 1.0), np.full(nt, 2.5)], -1)   # azi per src
+    doa = np.stack([a, b], axis=1)[None].astype(np.float32)  # (1,nt,2,2)
+    swapped = doa.copy()
+    swapped[:, 4:] = swapped[:, 4:, :, ::-1]                 # swap at t=4
+    out = np.asarray(track_associate(jnp.asarray(swapped)))
+    np.testing.assert_allclose(out, doa, atol=1e-7)
+
+
 def test_metric_single_matches_reference(ref_module, rng):
     nb, nt, ns = 3, 8, 1
     doa_gt = rng.uniform(0, 180, (nb, nt, 2, ns))
