@@ -37,6 +37,21 @@ def _add_common(p):
     p.add_argument("--bz", type=int, default=4)
     p.add_argument("--use-mesh", action="store_true",
                    help="shard batches over all local devices (DP)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address for "
+                        "multi-process DP (the reference's DDP launch, "
+                        "Lightning/main.py:286-288); rank 0 hosts it")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="world size for multi-process DP; every process "
+                        "runs this same command with its own --process-id "
+                        "(per-process --bz, global batch = bz × world)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank in [0, num-processes)")
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu", "tpu"],
+                   help="force the jax platform (cpu = run/simulate "
+                        "without the TPU, e.g. multi-process DP smoke "
+                        "with XLA_FLAGS device-count override)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax debug_nans (SURVEY §5.2 equivalent)")
     p.add_argument("--remat", action="store_true",
@@ -128,6 +143,24 @@ def _apply_yaml_defaults(ap, args):
                 if getattr(args, k, None) in (None, ap.get_default(k)):
                     setattr(args, k, v)
     return args
+
+
+def _init_runtime(args):
+    """Platform override + multi-process DP initialization. Must run
+    before anything touches jax devices. Multi-process implies the
+    mesh path (batches sharded over the global data axis; each process
+    feeds its host_local_slice share)."""
+    if getattr(args, "platform", "default") != "default":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    world = getattr(args, "num_processes", None)
+    if world and world > 1:
+        from fnssl_tpu.parallel.distributed import initialize
+        if args.process_id is None or args.coordinator is None:
+            raise SystemExit("multi-process DP needs --coordinator and "
+                             "--process-id")
+        initialize(args.coordinator, world, args.process_id)
+        args.use_mesh = True
 
 
 def _make_task(name: str, args=None):
@@ -236,6 +269,10 @@ def cmd_simulate(args):
 
 
 def _snapshot_config(args):
+    import jax
+
+    if jax.process_index() != 0:     # rank-0 gating (is_global_zero)
+        return
     os.makedirs(args.log_dir, exist_ok=True)
     with open(os.path.join(args.log_dir, "config.json"), "w") as f:
         json.dump({k: v for k, v in vars(args).items()
@@ -249,6 +286,7 @@ def cmd_fit(args):
     from fnssl_tpu.train.learner import EarlyStopping, Learner
     from fnssl_tpu.utils.logging import set_seed
 
+    _init_runtime(args)
     if args.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)
@@ -311,6 +349,7 @@ def cmd_test(args):
     from fnssl_tpu.eval import PredDOA
     from fnssl_tpu.train.learner import Learner
 
+    _init_runtime(args)
     _snapshot_config(args)
     task = _make_task(args.model)
     params = _init_params(args.model, task, args.seed)

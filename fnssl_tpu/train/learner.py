@@ -58,7 +58,15 @@ class Learner:
         self.state = init_train_state(params, self.tx)
         self.train_step = make_train_step(loss_fn, self.tx)
         self.eval_step = make_eval_step(loss_fn)
-        self.logger = MetricLogger(log_dir)
+        # Multi-process DP: the checkpoint dir is SHARED (orbax
+        # coordinates the save across processes), but metric/TB logs are
+        # rank-gated — non-primary ranks write to a rank subdir so the
+        # jsonl/TB event files never interleave (is_global_zero,
+        # Lightning/main.py:138-142).
+        rank = jax.process_index()
+        self.logger = MetricLogger(
+            log_dir if rank == 0 else os.path.join(log_dir, f"rank{rank}"),
+            use_tensorboard=(rank == 0))
         self.ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"),
                                       keep_top_k=keep_top_k)
         self.metric_fn = metric_fn

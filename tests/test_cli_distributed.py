@@ -1,0 +1,89 @@
+"""CLI-level multi-process data-parallel fit (VERDICT r2 ask #2).
+
+The library-level math is proven by tests/test_distributed.py; this
+verifies the full user-facing launch: two OS processes each run
+``python -m fnssl_tpu.cli fit --coordinator ... --num-processes 2
+--process-id k`` over the same wav+npz dirs and train for real —
+jax.distributed init, host_local_slice sharding, global-mesh step,
+orbax checkpoint coordination, and rank-gated logging, end to end.
+Matches the reference's DDP CLI default (Lightning/main.py:286-288).
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORLD = 2
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_cli_two_process_fit(tmp_path):
+    from fnssl_tpu.cli.main import main
+
+    os.chdir(tmp_path)
+    main(["simulate", "--out", "data/train", "--num", "4", "--T", "0.5",
+          "--nb-points", "4", "--seed", "1"])
+    main(["simulate", "--out", "data/dev", "--num", "2", "--T", "0.5",
+          "--nb-points", "4", "--seed", "77"])
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=1"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+    procs = []
+    for rank in range(WORLD):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "fnssl_tpu.cli", "fit",
+             "--model", "fnssl", "--train-dir", "data/train",
+             "--valid-dir", "data/dev", "--epochs", "2", "--bz", "1",
+             "--log-dir", "runs/ddp", "--workers", "0",
+             "--platform", "cpu", "--coordinator", f"localhost:{port}",
+             "--num-processes", str(WORLD), "--process-id", str(rank)],
+            env=env, cwd=str(tmp_path), stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rank failed:\n{err[-4000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    # both ranks computed the identical replicated history
+    assert outs[0] == outs[1], outs
+    import numpy as np
+    assert np.isfinite(outs[0]["final_valid"])
+    # rank-0 artifacts: shared checkpoint dir, config snapshot, rank-0
+    # logs at the top level and rank-1 logs in their own subdir
+    assert (tmp_path / "runs/ddp/ckpt").exists()
+    assert (tmp_path / "runs/ddp/config.json").exists()
+    assert (tmp_path / "runs/ddp/metrics.jsonl").exists()
+    assert (tmp_path / "runs/ddp/rank1/metrics.jsonl").exists()
+
+    # the checkpoint restores for single-process test (world-size change)
+    from fnssl_tpu.cli.main import main as main2  # same process is fine
+    # (in-process run uses the suite's 8-device CPU platform)
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main2(["test", "--model", "fnssl", "--data-dir", "data/dev",
+               "--bz", "1", "--log-dir", "runs/ddp"])
+    metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert np.isfinite(metrics["loss"])
