@@ -116,6 +116,9 @@ def build_parser():
     p = sub.add_parser("test", help="evaluate a checkpoint")
     _add_common(p)
     p.add_argument("--data-dir", required=True)
+    p.add_argument("--best", action="store_true",
+                   help="evaluate the best-valid-loss checkpoint instead "
+                        "of the latest (the reference's best_model.tar)")
 
     p = sub.add_parser("predict", help="DOA prediction for a wav file")
     _add_common(p)
@@ -381,7 +384,7 @@ def cmd_test(args):
 
     learner = Learner(task.loss_fn, params, log_dir=args.log_dir,
                       metric_fn=metric_fn, seed=args.seed)
-    epoch = learner.resume()
+    epoch = learner.resume(best=getattr(args, "best", False))
     if epoch == 0:
         print("warning: no checkpoint found; testing fresh params")
     metrics = learner.test(

@@ -96,9 +96,12 @@ class Learner:
             return prefetch_to_device(batches, size=2, put=self._place)
         return prefetch_to_device(batches, size=2)
 
-    def resume(self):
-        """Restore the latest checkpoint if one exists."""
-        restored, step = self.ckpt.restore(self.state)
+    def resume(self, best: bool = False):
+        """Restore the latest checkpoint if one exists. ``best=True``
+        restores the top-ranked epoch by valid loss instead (the
+        reference's best_model.tar selection, Learner.py:343-353)."""
+        epoch = self.ckpt.best_epoch() if best else None
+        restored, step = self.ckpt.restore(self.state, epoch=epoch)
         if restored is not None:
             self.state = TrainState(*restored) if isinstance(
                 restored, (list, tuple)) else restored

@@ -68,6 +68,35 @@ def test_learner_fit_checkpoints_and_resumes(tmp_path):
     learner2.close()
 
 
+def test_resume_best_restores_top_checkpoint(tmp_path):
+    """resume(best=True) restores the best-valid-loss epoch, not the
+    latest (the reference's best_model.tar selection)."""
+    import jax.numpy as jnp
+
+    def loss_fn(params, batch, rng):
+        return (params["w"] ** 2).sum()
+
+    lrn = Learner(loss_fn, {"w": jnp.full((2,), 5.0)},
+                  log_dir=str(tmp_path / "run"))
+    # craft three checkpoints: epoch 1 is the best
+    for epoch, (w, vloss) in enumerate([(1.0, 0.5), (2.0, 0.1),
+                                        (3.0, 0.9)]):
+        lrn.state = lrn.state._replace(
+            params={"w": jnp.full((2,), w)})
+        lrn.ckpt.save(epoch, lrn.state, vloss)
+    lrn2 = Learner(loss_fn, {"w": jnp.zeros((2,))},
+                   log_dir=str(tmp_path / "run"))
+    lrn2.resume(best=True)
+    np.testing.assert_array_equal(np.asarray(lrn2.state.params["w"]),
+                                  [2.0, 2.0])
+    lrn3 = Learner(loss_fn, {"w": jnp.zeros((2,))},
+                   log_dir=str(tmp_path / "run"))
+    lrn3.resume()
+    np.testing.assert_array_equal(np.asarray(lrn3.state.params["w"]),
+                                  [3.0, 3.0])
+    lrn.close(); lrn2.close(); lrn3.close()
+
+
 def test_learner_early_stops(tmp_path):
     task, params = _task_and_params()
     batch = synthetic_fnssl_batch(nb=2, t_s=0.25)
