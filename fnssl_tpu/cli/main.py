@@ -302,16 +302,6 @@ def cmd_fit(args):
                 "variable_ipdnet": (5e-4, 0.975),
                 "ipdnet2": (5e-4, 0.975)}
     lr, gamma = defaults[args.model]
-    learner = Learner(
-        task.loss_fn, params, optimizer="adamw"
-        if args.model == "ipdnet2" else "adam",
-        lr=args.lr or lr, lr_gamma=gamma,
-        grad_clip=5.0 if args.model == "ipdnet2" else None,
-        log_dir=args.log_dir, use_mesh=args.use_mesh, seed=args.seed,
-        early_stopping=EarlyStopping(args.early_stop_patience,
-                                     args.early_stop_min_delta))
-    if args.resume:
-        learner.resume()
     if args.model == "ipdnet2":
         if not args.realman_csv or not args.realman_noise:
             raise SystemExit("ipdnet2 trains on RealMAN: pass "
@@ -328,6 +318,22 @@ def cmd_fit(args):
         valid_fn = lambda e: _batches(args.valid_dir, args.bz, 0,  # noqa
                                       args.seed, False, pad,
                                       args.workers, args.prefetch)
+    # The γ^epoch decay steps at EPOCH boundaries (torch ExponentialLR
+    # semantics): the optimizer's step counter must know the epoch
+    # length, or the decay is applied per step and the lr collapses
+    # after one multi-hundred-step epoch.
+    steps_per_epoch = max(len(train_fn(0)), 1)
+    learner = Learner(
+        task.loss_fn, params, optimizer="adamw"
+        if args.model == "ipdnet2" else "adam",
+        lr=args.lr or lr, lr_gamma=gamma,
+        steps_per_epoch=steps_per_epoch,
+        grad_clip=5.0 if args.model == "ipdnet2" else None,
+        log_dir=args.log_dir, use_mesh=args.use_mesh, seed=args.seed,
+        early_stopping=EarlyStopping(args.early_stop_patience,
+                                     args.early_stop_min_delta))
+    if args.resume:
+        learner.resume()
     if getattr(args, "profile", 0) > 0:
         from fnssl_tpu.utils.profiling import trace
 

@@ -42,6 +42,33 @@ def test_cli_lifecycle(workdir, capsys):
     assert pred["frames"] >= 1
 
 
+def test_cli_fit_wires_epoch_length_into_schedule(workdir, monkeypatch):
+    """Regression: the γ^epoch lr decay must step at epoch boundaries —
+    cmd_fit has to pass the dataset's steps/epoch to the optimizer, or
+    a 500-step epoch decays the lr 500 times (it collapsed to ~0 after
+    one epoch at scale)."""
+    captured = {}
+    import fnssl_tpu.cli.main as cli_main
+    import fnssl_tpu.train.learner as learner_mod
+
+    real_init = learner_mod.Learner.__init__
+
+    def spy_init(self, *a, **kw):
+        captured.update(kw)
+        real_init(self, *a, **kw)
+
+    monkeypatch.setattr(learner_mod.Learner, "__init__", spy_init)
+    if not os.path.exists("data/train"):
+        main(["simulate", "--out", "data/train", "--num", "3", "--T",
+              "0.5", "--nb-points", "4", "--seed", "1"])
+        main(["simulate", "--out", "data/dev", "--num", "2", "--T",
+              "0.5", "--nb-points", "4", "--seed", "77"])
+    main(["fit", "--model", "fnssl", "--train-dir", "data/train",
+          "--valid-dir", "data/dev", "--epochs", "1", "--bz", "1",
+          "--log-dir", "runs/spe"])
+    assert captured.get("steps_per_epoch") == 3  # 3 scenes, bz 1
+
+
 def test_cli_ipdnet_offline_fit(workdir, capsys):
     """The offline IPDnet variant (bidirectional narrow LSTMs, global
     norm, runIPDnetOff.py) trains and restores via the CLI."""
