@@ -176,6 +176,44 @@ def bench_ipdnet2_train(tpu: bool):
     return dt * 1e3, nb * t_s / dt
 
 
+def bench_ipdnet_train(tpu: bool):
+    """IPDnet (fixed-array, online) training step at reference scale:
+    bz 16 × 4.5 s 2-mic, fused dp-VAD/Bessel targets + frame-PIT loss
+    (runIPDnetOn.py:44-58 scale constants) — the family of the r3
+    reference-scale training demonstration (BASELINE.md)."""
+    import jax
+
+    from fnssl_tpu.models.ipdnet import init_ipdnet_params
+    from fnssl_tpu.train.step import (
+        init_train_state, make_optimizer, make_train_step)
+    from fnssl_tpu.train.tasks import make_ipdnet_task
+
+    nb, t_s = (16, 4.5) if tpu else (1, 0.5)
+    iters = 5 if tpu else 1
+    task = make_ipdnet_task(precision="bf16" if tpu else "fp32")
+    params = init_ipdnet_params(jax.random.PRNGKey(0), task.cfg)
+    tx = make_optimizer("adam", 5e-4, 0.975, 1)
+    state = init_train_state(params, tx)
+    step = make_train_step(task.loss_fn, tx)
+    rng = np.random.default_rng(0)
+    nt2 = 23                                     # 4.5 s at the 12× seg rate
+    batch = jax.device_put({
+        "mic_sig": rng.standard_normal(
+            (nb, int(t_s * 16000), 2)).astype(np.float32),
+        "doa": rng.uniform(0, np.pi, (nb, nt2, 2, 2)).astype(np.float32),
+        "vad": np.ones((nb, nt2, 2), np.float32),
+    })
+    state, loss = step(state, batch, None)       # compile
+    state, loss = step(state, batch, None)       # steady state
+    _sync(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch, None)
+    _sync(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return dt * 1e3, nb * t_s / dt
+
+
 def bench_ipdnet2(tpu: bool):
     """Flagship OnlineSpatialNet forward: bz 16 × 4 s (nt=200, hop 320)."""
     import jax
@@ -308,6 +346,7 @@ def main():
     # FNSSL_TPU_DISABLE_PALLAS mid-run, so each section records whether
     # the Pallas path was still live when it finished (VERDICT r2 weak #6)
     for name, fn in (("train_step", bench_train_step),
+                     ("ipdnet_train", bench_ipdnet_train),
                      ("ipdnet2", bench_ipdnet2),
                      ("ipdnet2_train", bench_ipdnet2_train),
                      ("streaming", bench_streaming_rtf),
@@ -326,6 +365,9 @@ def main():
             extra["train_step_tf_frames_per_sec"] = round(r, 1)
             extra["vs_baseline_train"] = round(
                 r / TORCH_CPU_TRAIN_BASELINE, 2)
+        elif name == "ipdnet_train":
+            extra["ipdnet_train_step_ms"] = round(r[0], 2)
+            extra["ipdnet_train_realtime_x"] = round(r[1], 1)
         elif name == "ipdnet2":
             extra["ipdnet2_fwd_ms"] = round(r[0], 2)
             extra["ipdnet2_realtime_x"] = round(r[1], 1)
