@@ -41,6 +41,16 @@ def test_cli_lifecycle(workdir, capsys):
     assert os.path.exists("pred/doa_est.npy")
     assert pred["frames"] >= 1
 
+    # chunked streaming serving over the same wav + checkpoint: outputs
+    # fire per 12 buffered frames regardless of the 100 ms push size
+    main(["stream", "--model", "fnssl", "--wav", "data/dev/0.wav",
+          "--chunk-ms", "100", "--log-dir", "runs/t", "--out", "stream/"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["out_frames"] >= 1 and st["rtf"] > 0
+    doa = np.load("stream/doa_est.npy")
+    assert doa.shape[0] == st["out_frames"]
+    assert np.isfinite(doa).all()
+
 
 def test_cli_fit_wires_epoch_length_into_schedule(workdir, monkeypatch):
     """Regression: the γ^epoch lr decay must step at epoch boundaries —
