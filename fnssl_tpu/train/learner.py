@@ -232,7 +232,11 @@ class Learner:
                 valid = self.eval_epoch(valid_batches_fn(self.epoch))
                 history["train"].append(train_loss)
                 history["valid"].append(valid["loss"])
-                self.ckpt.save(self.epoch, self.state, valid["loss"])
+                # a fully-diverged (NaN) epoch must never rank "best":
+                # NaN ordering inside the top-k best_fn is undefined
+                self.ckpt.save(self.epoch, self.state,
+                               valid["loss"] if np.isfinite(valid["loss"])
+                               else float("inf"))
                 stop = self.early_stopping.update(valid["loss"])
                 print(f"epoch {self.epoch}: train {train_loss:.5f} "
                       f"valid {valid['loss']:.5f}"

@@ -155,6 +155,35 @@ def test_eval_epoch_all_nan_returns_nan(tmp_path):
     lrn.close()
 
 
+def test_fit_nan_epoch_never_ranks_best(tmp_path):
+    """A NaN-valid epoch is checkpointed (resume still works) but must
+    not win the top-k ranking — NaN ordering in the best_fn is
+    undefined, so fit() substitutes +inf for the ranking metric."""
+    import jax.numpy as jnp
+
+    calls = []
+
+    def loss_fn(params, batch, rng):
+        return params["w"].sum() * jnp.asarray(batch["v"]).sum()
+
+    lrn = Learner(loss_fn, {"w": jnp.ones((2,))},
+                  log_dir=str(tmp_path / "run"),
+                  early_stopping=EarlyStopping(0))
+    real_save = lrn.ckpt.save
+    lrn.ckpt.save = lambda e, s, v: (calls.append(v), real_save(e, s, v))
+    # epoch 0 diverges (NaN), epoch 1 is finite
+    vals = iter([np.nan, 0.5])
+
+    def batches(epoch):
+        return [{"v": np.array([next(vals)], np.float32)}]
+
+    lrn.fit(lambda e: [{"v": np.array([1.0], np.float32)}], batches,
+            epochs=2)
+    assert calls[0] == float("inf") and np.isfinite(calls[1])
+    assert lrn.ckpt.best_epoch() == 1
+    lrn.close()
+
+
 def test_eval_epoch_vector_metrics(tmp_path):
     """metric_fn values may be vectors (multi-entry ae_mode): the epoch
     average runs along the batch axis and keeps the vector shape."""
