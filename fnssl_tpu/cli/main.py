@@ -104,6 +104,12 @@ def build_parser():
     p.add_argument("--early-stop-patience", type=int, default=10,
                    help="epochs without valid/loss improvement before "
                         "stopping (Lightning/main.py:290-296); 0 disables")
+    p.add_argument("--rss-restart-gb", type=float, default=None,
+                   help="checkpoint + re-exec (with --resume) when host "
+                        "RSS exceeds this at an epoch boundary; default "
+                        "auto = 70%% of MemTotal, 0 disables. Bounds the "
+                        "axon client's per-transfer host-memory leak on "
+                        "long file-backed runs")
     p.add_argument("--early-stop-min-delta", type=float, default=0.01)
     p.add_argument("--realman-csv", default=None,
                    help="RealMAN targets CSV (ipdnet2)")
@@ -295,6 +301,20 @@ def _snapshot_config(args):
                            note=f"{args.cmd} {args.model}")
 
 
+def _resolve_rss_limit(value: float | None) -> float | None:
+    """None → 70% of MemTotal; 0/negative → disabled."""
+    if value is not None:
+        return value if value > 0 else None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    return 0.7 * int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return None
+
+
 def cmd_fit(args):
     from fnssl_tpu.train.learner import EarlyStopping, Learner
     from fnssl_tpu.utils.logging import set_seed
@@ -344,24 +364,45 @@ def cmd_fit(args):
                                      args.early_stop_min_delta))
     if args.resume:
         learner.resume()
+    rss_limit = _resolve_rss_limit(args.rss_restart_gb)
+    start_epoch = learner.epoch      # nonzero after --resume
     if getattr(args, "profile", 0) > 0:
         from fnssl_tpu.utils.profiling import trace
 
         profiled = min(args.profile, args.epochs)
         with trace(os.path.join(args.log_dir, "profile")):
-            history = learner.fit(train_fn, valid_fn, epochs=profiled)
+            history = learner.fit(train_fn, valid_fn, epochs=profiled,
+                                  rss_limit_gb=rss_limit)
         # continue only if the profiled fit ran to its epoch budget —
         # early stopping / SIGTERM during it means the run is over
-        if args.epochs > profiled and learner.epoch >= profiled:
-            history2 = learner.fit(train_fn, valid_fn, epochs=args.epochs)
+        if args.epochs > profiled and learner.epoch >= profiled \
+                and not learner.hit_rss_limit:
+            history2 = learner.fit(train_fn, valid_fn, epochs=args.epochs,
+                                   rss_limit_gb=rss_limit)
             for k in history:
                 history[k].extend(history2[k])
     else:
-        history = learner.fit(train_fn, valid_fn, epochs=args.epochs)
+        history = learner.fit(train_fn, valid_fn, epochs=args.epochs,
+                              rss_limit_gb=rss_limit)
+    epoch_reached = learner.epoch
+    restart = getattr(learner, "hit_rss_limit", False) \
+        and epoch_reached < args.epochs
     learner.close()
+    if restart:
+        # fresh process = fresh TPU client: the leaked transfer staging
+        # memory is reclaimed, training continues from the checkpoint
+        import sys
+        argv = list(getattr(args, "_argv", sys.argv[1:]))
+        if "--resume" not in argv:
+            argv.append("--resume")
+        print(f"re-exec at epoch {epoch_reached}: fnssl_tpu.cli "
+              + " ".join(argv), flush=True)
+        os.execv(sys.executable,
+                 [sys.executable, "-m", "fnssl_tpu.cli"] + argv)
     print(json.dumps({"final_train": history["train"][-1],
                       "final_valid": history["valid"][-1],
-                      "best_epoch": int(np.argmin(history["valid"]))}))
+                      "best_epoch": start_epoch
+                      + int(np.argmin(history["valid"]))}))
 
 
 def cmd_test(args):
@@ -591,8 +632,11 @@ def cmd_locata(args):
 
 
 def main(argv=None):
+    import sys
+
     ap = build_parser()
     args = _apply_yaml_defaults(ap, ap.parse_args(argv))
+    args._argv = list(argv) if argv is not None else sys.argv[1:]
     {"simulate": cmd_simulate, "fit": cmd_fit, "test": cmd_test,
      "predict": cmd_predict, "stream": cmd_stream,
      "locata": cmd_locata}[args.cmd](args)

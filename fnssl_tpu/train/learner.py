@@ -24,6 +24,18 @@ from fnssl_tpu.train.step import (
 from fnssl_tpu.utils.logging import EmaLoss, MetricLogger, detect_infnan
 
 
+def process_rss_gb() -> float:
+    """Resident set size of this process in GB (0.0 if unreadable)."""
+    try:
+        with open(f"/proc/{os.getpid()}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 class EarlyStopping:
     """Stop after ``patience`` epochs without ``min_delta`` improvement
     (Lightning/main.py:290-296). ``patience <= 0`` disables stopping."""
@@ -200,7 +212,7 @@ class Learner:
 
     def fit(self, train_batches_fn: Callable[[int], Iterable],
             valid_batches_fn: Callable[[int], Iterable],
-            epochs: int = 100) -> dict:
+            epochs: int = 100, rss_limit_gb: float | None = None) -> dict:
         """Full training: per-epoch train + validate + checkpoint + early
         stop. ``*_batches_fn(epoch)`` returns that epoch's batch iterable
         (deterministic per-epoch shuffling hooks in here).
@@ -209,6 +221,16 @@ class Learner:
         stop at the next epoch boundary, where the state is checkpointed
         so ``resume()`` continues exactly — the reference has no
         preemption story beyond manual --ckpt_path resume.
+
+        ``rss_limit_gb`` guards host memory: when the process RSS
+        exceeds it at an epoch boundary (state already checkpointed),
+        fit returns early with ``self.hit_rss_limit = True`` so the
+        caller can re-exec and ``resume()``. Exists because the axon
+        TPU client leaks ~1:1 host memory for every host→device
+        transfer payload (measured: 100 × 20.5 MB device_put → +2.0 GB
+        RSS, regardless of source reuse or .delete()), so any
+        sufficiently long file-backed training would OOM the host —
+        a bounded-memory restart turns that into a non-event.
         """
         import signal
 
@@ -226,6 +248,7 @@ class Learner:
                 pass
 
         history = {"train": [], "valid": []}
+        self.hit_rss_limit = False
         try:
             while self.epoch < epochs:
                 train_loss = self.train_epoch(train_batches_fn(self.epoch))
@@ -242,6 +265,12 @@ class Learner:
                       f"valid {valid['loss']:.5f}"
                       + (" [early stop]" if stop else ""))
                 self.epoch += 1
+                if rss_limit_gb and process_rss_gb() > rss_limit_gb:
+                    self.hit_rss_limit = True
+                    print(f"host RSS {process_rss_gb():.1f} GB > limit "
+                          f"{rss_limit_gb:.1f} GB: checkpointed, "
+                          "requesting restart")
+                    break
                 if stop or interrupted["flag"]:
                     break
         finally:

@@ -97,3 +97,37 @@ def test_cli_ipdnet_offline_fit(workdir, capsys):
           "--bz", "1", "--log-dir", "runs/off"])
     metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert abs(metrics["loss"] - result["final_valid"]) < 1e-6
+
+
+def test_cli_fit_rss_restart_execs_with_resume(workdir, monkeypatch,
+                                               capsys):
+    """cmd_fit re-execs itself with --resume appended when the learner
+    reports the RSS limit was hit (the axon transfer-leak workaround)."""
+    import fnssl_tpu.train.learner as learner_mod
+
+    monkeypatch.setattr(learner_mod, "process_rss_gb", lambda: 999.0)
+    captured = {}
+    monkeypatch.setattr(
+        os, "execv", lambda exe, argv: captured.update(argv=argv))
+    if not os.path.exists("data/train"):
+        main(["simulate", "--out", "data/train", "--num", "3", "--T",
+              "0.5", "--nb-points", "4", "--seed", "1"])
+        main(["simulate", "--out", "data/dev", "--num", "2", "--T",
+              "0.5", "--nb-points", "4", "--seed", "77"])
+
+    argv = ["fit", "--model", "fnssl", "--train-dir", "data/train",
+            "--valid-dir", "data/dev", "--epochs", "2", "--bz", "1",
+            "--log-dir", "runs/rss", "--rss-restart-gb", "10"]
+    main(argv)
+    capsys.readouterr()
+    assert captured, "os.execv was not invoked"
+    exec_argv = captured["argv"]
+    assert exec_argv[1:3] == ["-m", "fnssl_tpu.cli"]
+    assert exec_argv[-1] == "--resume"
+
+    # the restarted command parses and resumes cleanly (limit disabled)
+    restart = list(exec_argv[3:])
+    restart[restart.index("--rss-restart-gb") + 1] = "0"
+    main(restart)
+    out = capsys.readouterr().out
+    assert "resumed from epoch 0" in out

@@ -155,6 +155,39 @@ def test_eval_epoch_all_nan_returns_nan(tmp_path):
     lrn.close()
 
 
+def test_fit_rss_limit_checkpoints_and_requests_restart(tmp_path,
+                                                        monkeypatch):
+    """When host RSS exceeds the limit at an epoch boundary, fit stops
+    with hit_rss_limit=True AFTER checkpointing, so a re-exec'd process
+    resumes exactly (the axon per-transfer host-leak workaround)."""
+    import jax.numpy as jnp
+
+    import fnssl_tpu.train.learner as learner_mod
+
+    monkeypatch.setattr(learner_mod, "process_rss_gb", lambda: 99.0)
+
+    def loss_fn(params, batch, rng):
+        return (params["w"] * jnp.asarray(batch["v"])).sum() ** 2
+
+    lrn = Learner(loss_fn, {"w": jnp.ones((2,))},
+                  log_dir=str(tmp_path / "run"),
+                  early_stopping=EarlyStopping(0))
+    batches = lambda e: [{"v": np.ones((2,), np.float32)}]  # noqa: E731
+    hist = lrn.fit(batches, batches, epochs=5, rss_limit_gb=50.0)
+    assert lrn.hit_rss_limit and lrn.epoch == 1 and len(hist["valid"]) == 1
+    lrn.close()
+
+    # the re-exec'd process picks up from the checkpoint
+    lrn2 = Learner(loss_fn, {"w": jnp.ones((2,))},
+                   log_dir=str(tmp_path / "run"),
+                   early_stopping=EarlyStopping(0))
+    assert lrn2.resume() == 1
+    hist2 = lrn2.fit(batches, batches, epochs=5, rss_limit_gb=None)
+    assert not lrn2.hit_rss_limit and lrn2.epoch == 5
+    assert len(hist2["valid"]) == 4
+    lrn2.close()
+
+
 def test_fit_nan_epoch_never_ranks_best(tmp_path):
     """A NaN-valid epoch is checkpointed (resume still works) but must
     not win the top-k ranking — NaN ordering in the best_fn is
