@@ -84,6 +84,10 @@ def test_resume_best_restores_top_checkpoint(tmp_path):
         lrn.state = lrn.state._replace(
             params={"w": jnp.full((2,), w)})
         lrn.ckpt.save(epoch, lrn.state, vloss)
+    # saves are async within lrn's manager; a freshly-opened manager on
+    # the same directory cannot see an in-flight save — drain first
+    # (real flows restore through the same manager, which drains itself)
+    lrn.close()
     lrn2 = Learner(loss_fn, {"w": jnp.zeros((2,))},
                    log_dir=str(tmp_path / "run"))
     lrn2.resume(best=True)
@@ -94,7 +98,7 @@ def test_resume_best_restores_top_checkpoint(tmp_path):
     lrn3.resume()
     np.testing.assert_array_equal(np.asarray(lrn3.state.params["w"]),
                                   [3.0, 3.0])
-    lrn.close(); lrn2.close(); lrn3.close()
+    lrn2.close(); lrn3.close()
 
 
 def test_learner_early_stops(tmp_path):
