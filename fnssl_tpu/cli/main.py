@@ -110,6 +110,13 @@ def build_parser():
                         "auto = 70%% of MemTotal, 0 disables. Bounds the "
                         "axon client's per-transfer host-memory leak on "
                         "long file-backed runs")
+    p.add_argument("--stall-restart-s", type=float, default=None,
+                   help="re-exec (with --resume) if no training step "
+                        "completes for this many seconds — recovers from "
+                        "a wedged TPU-client tunnel, which blocks every "
+                        "device call uncancellably. 0 disables; pick a "
+                        "value above the worst first-step compile "
+                        "(~600 s observed). Default: off")
     p.add_argument("--early-stop-min-delta", type=float, default=0.01)
     p.add_argument("--realman-csv", default=None,
                    help="RealMAN targets CSV (ipdnet2)")
@@ -366,24 +373,41 @@ def cmd_fit(args):
         learner.resume()
     rss_limit = _resolve_rss_limit(args.rss_restart_gb)
     start_epoch = learner.epoch      # nonzero after --resume
+
+    def _stall_reexec():
+        # a wedged tunnel blocks every device call uncancellably — the
+        # only recovery is a fresh process resuming from the last epoch
+        # checkpoint (same shape as the rss-restart below, but fired
+        # from the watchdog thread because the main thread is stuck)
+        import sys
+        argv = list(getattr(args, "_argv", sys.argv[1:]))
+        if "--resume" not in argv:
+            argv.append("--resume")
+        print("stall re-exec: fnssl_tpu.cli " + " ".join(argv), flush=True)
+        os.execv(sys.executable,
+                 [sys.executable, "-m", "fnssl_tpu.cli"] + argv)
+
+    fit_kw = dict(rss_limit_gb=rss_limit,
+                  stall_timeout_s=args.stall_restart_s or None,
+                  stall_action=_stall_reexec)
     if getattr(args, "profile", 0) > 0:
         from fnssl_tpu.utils.profiling import trace
 
         profiled = min(args.profile, args.epochs)
         with trace(os.path.join(args.log_dir, "profile")):
             history = learner.fit(train_fn, valid_fn, epochs=profiled,
-                                  rss_limit_gb=rss_limit)
+                                  **fit_kw)
         # continue only if the profiled fit ran to its epoch budget —
         # early stopping / SIGTERM during it means the run is over
         if args.epochs > profiled and learner.epoch >= profiled \
                 and not learner.hit_rss_limit:
             history2 = learner.fit(train_fn, valid_fn, epochs=args.epochs,
-                                   rss_limit_gb=rss_limit)
+                                   **fit_kw)
             for k in history:
                 history[k].extend(history2[k])
     else:
         history = learner.fit(train_fn, valid_fn, epochs=args.epochs,
-                              rss_limit_gb=rss_limit)
+                              **fit_kw)
     epoch_reached = learner.epoch
     restart = getattr(learner, "hit_rss_limit", False) \
         and epoch_reached < args.epochs

@@ -36,6 +36,58 @@ def process_rss_gb() -> float:
     return 0.0
 
 
+class StallWatchdog:
+    """Detect a wedged device runtime (SURVEY §5.3 — the reference has no
+    failure detection at all).
+
+    The axon/TPU client can wedge so hard that every device call blocks
+    forever (observed live: even ``jax.devices()`` hung). No in-process
+    recovery exists — the blocked call is uncancellable — so the only
+    useful reaction is to leave the process: ``action`` (default
+    ``os._exit(3)``) runs on the monitor thread once no heartbeat has
+    arrived for ``timeout_s``. Training resumes from the last epoch
+    checkpoint via ``Learner.resume()`` (the CLI re-execs itself with
+    ``--resume``, mirroring the rss-restart path).
+
+    ``timeout_s`` must exceed the first-step compile (45–600 s observed
+    on the tunnelled chip); the CLI default is 1800 s.
+    """
+
+    def __init__(self, timeout_s: float, action: Callable | None = None):
+        import threading
+
+        self.timeout_s = float(timeout_s)
+        self.action = action or self._default_action
+        self._last = time.monotonic()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _default_action():
+        os._exit(3)
+
+    def beat(self):
+        self._last = time.monotonic()
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+
+    def _run(self):
+        poll = min(max(self.timeout_s / 4.0, 0.05), 60.0)
+        while not self._stop.wait(poll):
+            if time.monotonic() - self._last > self.timeout_s:
+                print(f"stall watchdog: no training progress for "
+                      f"{self.timeout_s:.0f}s — device runtime wedged, "
+                      "leaving the process (resume() continues from the "
+                      "last epoch checkpoint)", flush=True)
+                self.action()
+                return
+
+
 class EarlyStopping:
     """Stop after ``patience`` epochs without ``min_delta`` improvement
     (Lightning/main.py:290-296). ``patience <= 0`` disables stopping."""
@@ -87,6 +139,7 @@ class Learner:
         # deferred-loss flush interval: bounds live device buffers in
         # long epochs (the reference's epochs reach ~10k steps)
         self.fetch_chunk = 512
+        self._watchdog: StallWatchdog | None = None
         self.rng = jax.random.PRNGKey(seed)
         self.mesh = make_mesh() if use_mesh else None
         if self.mesh is not None:
@@ -153,6 +206,8 @@ class Learner:
         for i, batch in enumerate(self._placed_stream(batches)):
             self.rng, sub = jax.random.split(self.rng)
             self.state, loss = self.train_step(self.state, batch, sub)
+            if self._watchdog is not None:
+                self._watchdog.beat()
             if live:
                 last = ema.update(float(loss))
                 progress.update(last)
@@ -180,6 +235,8 @@ class Learner:
             # (a per-batch fetch is a host↔device round trip each time)
             dev_losses.append(self.eval_step(self.state.params,
                                              self._place(batch)))
+            if self._watchdog is not None:
+                self._watchdog.beat()
             weights.append(float(len(jax.tree_util.tree_leaves(batch)[0])))
             if self.metric_fn is not None:
                 metrics_acc.append(self.metric_fn(self.state.params, batch))
@@ -212,7 +269,9 @@ class Learner:
 
     def fit(self, train_batches_fn: Callable[[int], Iterable],
             valid_batches_fn: Callable[[int], Iterable],
-            epochs: int = 100, rss_limit_gb: float | None = None) -> dict:
+            epochs: int = 100, rss_limit_gb: float | None = None,
+            stall_timeout_s: float | None = None,
+            stall_action: Callable | None = None) -> dict:
         """Full training: per-epoch train + validate + checkpoint + early
         stop. ``*_batches_fn(epoch)`` returns that epoch's batch iterable
         (deterministic per-epoch shuffling hooks in here).
@@ -231,6 +290,12 @@ class Learner:
         RSS, regardless of source reuse or .delete()), so any
         sufficiently long file-backed training would OOM the host —
         a bounded-memory restart turns that into a non-event.
+
+        ``stall_timeout_s`` arms a :class:`StallWatchdog`: if no step or
+        eval batch completes for that long, ``stall_action`` runs on the
+        monitor thread (default: exit the process with code 3, since a
+        wedged device call cannot be cancelled in-process). Pick a
+        timeout above the worst-case first-step compile.
         """
         import signal
 
@@ -249,6 +314,9 @@ class Learner:
 
         history = {"train": [], "valid": []}
         self.hit_rss_limit = False
+        if stall_timeout_s:
+            self._watchdog = StallWatchdog(stall_timeout_s,
+                                           stall_action).start()
         try:
             while self.epoch < epochs:
                 train_loss = self.train_epoch(train_batches_fn(self.epoch))
@@ -260,6 +328,8 @@ class Learner:
                 self.ckpt.save(self.epoch, self.state,
                                valid["loss"] if np.isfinite(valid["loss"])
                                else float("inf"))
+                if self._watchdog is not None:
+                    self._watchdog.beat()    # the save drain also blocks
                 stop = self.early_stopping.update(valid["loss"])
                 print(f"epoch {self.epoch}: train {train_loss:.5f} "
                       f"valid {valid['loss']:.5f}"
@@ -274,6 +344,9 @@ class Learner:
                 if stop or interrupted["flag"]:
                     break
         finally:
+            if self._watchdog is not None:
+                self._watchdog.stop()
+                self._watchdog = None
             for sig, handler in prev.items():
                 signal.signal(sig, handler)
         return history

@@ -269,3 +269,55 @@ def test_train_epoch_10k_steps_bounded_fetch(tmp_path, monkeypatch):
         expected = ema.update(float(v))
     np.testing.assert_allclose(out, expected, rtol=1e-5)
     lrn.close()
+
+
+def test_stall_watchdog_fires_and_beats_hold_it_off():
+    """StallWatchdog fires its action once no heartbeat arrives for
+    timeout_s; regular beats keep it quiet (SURVEY §5.3 — failure
+    detection the reference lacks)."""
+    import time
+
+    from fnssl_tpu.train.learner import StallWatchdog
+
+    fired = []
+    wd = StallWatchdog(0.3, action=lambda: fired.append(True)).start()
+    for _ in range(10):            # heartbeats every 0.05 s: no fire
+        wd.beat()
+        time.sleep(0.05)
+    assert not fired
+    time.sleep(1.0)                # silence: must fire exactly once
+    assert fired == [True]
+    wd.stop()
+
+
+def test_fit_stall_action_fires_on_wedged_step(tmp_path, monkeypatch):
+    """A train step that blocks past stall_timeout_s triggers the stall
+    action from the monitor thread while the main thread is stuck —
+    the wedged-tunnel recovery path."""
+    import time
+
+    import jax.numpy as jnp
+
+    def loss_fn(params, batch, rng):
+        return (params["w"] * batch["v"]).sum()
+
+    lrn = Learner(loss_fn, {"w": jnp.ones((1,))}, lr=0.0, lr_gamma=1.0,
+                  log_dir=str(tmp_path / "run"),
+                  early_stopping=EarlyStopping(0))
+    real_step = lrn.train_step
+    calls = {"n": 0}
+
+    def wedged_step(state, batch, rng):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            time.sleep(1.2)        # simulate the uncancellable block
+        return real_step(state, batch, rng)
+
+    lrn.train_step = wedged_step
+    fired = []
+    batches = [{"v": np.ones((1,), np.float32)}] * 3
+    lrn.fit(lambda e: batches, lambda e: batches, epochs=1,
+            stall_timeout_s=0.4, stall_action=lambda: fired.append(True))
+    assert fired == [True]
+    assert lrn._watchdog is None   # disarmed on exit
+    lrn.close()
