@@ -50,7 +50,8 @@ class StallWatchdog:
     ``--resume``, mirroring the rss-restart path).
 
     ``timeout_s`` must exceed the first-step compile (45–600 s observed
-    on the tunnelled chip); the CLI default is 1800 s.
+    on the tunnelled chip); the CLI flag is ``--stall-restart-s``
+    (off unless given).
     """
 
     def __init__(self, timeout_s: float, action: Callable | None = None):
