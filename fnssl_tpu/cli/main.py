@@ -148,6 +148,25 @@ def build_parser():
     p.add_argument("--out", default=None,
                    help="directory for doa_est.npy / vad_est.npy dumps")
 
+    p = sub.add_parser("export", help="serialize a trained model to a "
+                       "hermetic serving artifact (StableHLO + weights; "
+                       "loadable with runtime.export.load_artifact, no "
+                       "model code needed)")
+    _add_common(p)
+    p.add_argument("--out", required=True, help="artifact directory")
+    p.add_argument("--best", action="store_true",
+                   help="export the best checkpoint instead of the last")
+    p.add_argument("--mode", choices=["forward", "stream"],
+                   default="forward")
+    p.add_argument("--platforms", default=None,
+                   help="comma list (e.g. cpu,tpu) to cross-lower; "
+                        "default: current backend (keeps the Pallas "
+                        "LSTM kernel on TPU)")
+    p.add_argument("--export-bz", type=int, default=1)
+    p.add_argument("--export-t", type=int, default=None,
+                   help="frames: forward default 298 (4.79 s), stream "
+                        "default = the model chunk size")
+
     p = sub.add_parser("locata", help="evaluate on LOCATA recordings")
     _add_common(p)
     p.add_argument("--locata-dir", required=True)
@@ -595,6 +614,44 @@ def cmd_stream(args):
         "out": args.out}))
 
 
+def cmd_export(args):
+    """Serialize the trained checkpoint to a hermetic serving artifact:
+    StableHLO of the jitted forward (or streaming chunk step) + a
+    path-keyed weight bundle + manifest. The reference has no export
+    story (deploying it means shipping the model source tree); see
+    runtime/export.py."""
+    from fnssl_tpu.runtime.export import export_model
+    from fnssl_tpu.train.learner import Learner
+
+    task = _make_task(args.model)
+    params = _init_params(args.model, task, args.seed)
+    learner = Learner(task.loss_fn, params, log_dir=args.log_dir,
+                      seed=args.seed)
+    epoch = learner.resume(best=getattr(args, "best", False))
+    if epoch == 0:
+        print("warning: no checkpoint found; exporting fresh params")
+    params = learner.state.params
+    learner.close()
+
+    if args.model == "ipdnet2":
+        cin, nf, chunk = task.cfg.dim_input, task.cfg.num_freqs, 5
+    else:                      # fnssl*/ipdnet: 2-mic real/imag features
+        cin, nf, chunk = 4, 256, 12
+    nt = args.export_t or (chunk if args.mode == "stream" else 298)
+    if args.mode == "stream" and nt % chunk:
+        raise SystemExit(f"--export-t must be a multiple of the model "
+                         f"chunk size ({chunk}) in stream mode")
+    feats = np.zeros((args.export_bz, cin, nf, nt), np.float32)
+    platforms = (args.platforms.split(",") if args.platforms else None)
+    meta = export_model(args.model, params, feats, args.out,
+                        mode=args.mode, platforms=platforms,
+                        cfg=task.cfg)
+    print(json.dumps({"out": args.out, "mode": meta["mode"],
+                      "platforms": meta["platforms"],
+                      "input_shape": meta["input_shape"],
+                      "epoch": epoch}))
+
+
 def cmd_locata(args):
     """LOCATA evaluation: per-task prediction, VAD-gated ACC/MAE, npy
     dumps, optional 12-panel plot (Predict.py:91-104 flow)."""
@@ -663,7 +720,7 @@ def main(argv=None):
     args._argv = list(argv) if argv is not None else sys.argv[1:]
     {"simulate": cmd_simulate, "fit": cmd_fit, "test": cmd_test,
      "predict": cmd_predict, "stream": cmd_stream,
-     "locata": cmd_locata}[args.cmd](args)
+     "export": cmd_export, "locata": cmd_locata}[args.cmd](args)
 
 
 if __name__ == "__main__":
