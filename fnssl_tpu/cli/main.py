@@ -147,6 +147,11 @@ def build_parser():
                         "STFT frames regardless of push size")
     p.add_argument("--out", default=None,
                    help="directory for doa_est.npy / vad_est.npy dumps")
+    p.add_argument("--artifact", default=None,
+                   help="serve from a `cli export --mode stream` "
+                        "artifact instead of a checkpoint (no model "
+                        "code runs — the StableHLO chunk step is the "
+                        "model)")
 
     p = sub.add_parser("export", help="serialize a trained model to a "
                        "hermetic serving artifact (StableHLO + weights; "
@@ -555,34 +560,50 @@ def cmd_stream(args):
     from fnssl_tpu.utils.audio_io import read_audio
 
     _init_runtime(args)
-    task = _make_task(args.model, args)
-    params = _init_params(args.model, task, args.seed)
-    learner = Learner(task.loss_fn, params, log_dir=args.log_dir,
-                      seed=args.seed)
-    if learner.resume(best=True) == 0:
-        print("warning: no checkpoint found; streaming fresh params")
-    params = learner.state.params
-    learner.close()
+    art = None
+    if args.artifact:
+        from fnssl_tpu.runtime.export import load_artifact
+        art = load_artifact(args.artifact)
+        if art.meta["mode"] != "stream":
+            raise SystemExit("stream needs a `cli export --mode stream` "
+                             "artifact")
+        model = art.meta["model"]
+        task = _make_task(model, args)       # decode metadata only
+        frames_per_step = int(art.meta["input_shape"][-1])
+    else:
+        model = args.model
+        task = _make_task(model, args)
+        params = _init_params(model, task, args.seed)
+        learner = Learner(task.loss_fn, params, log_dir=args.log_dir,
+                          seed=args.seed)
+        if learner.resume(best=True) == 0:
+            print("warning: no checkpoint found; streaming fresh params")
+        params = learner.state.params
+        learner.close()
+        frames_per_step = 12
 
     sig, fs = read_audio(args.wav)
     if sig.ndim == 1:
         raise SystemExit("stream needs a multichannel wav")
     sig = sig.astype(np.float32)
-    if args.model.startswith("fnssl"):
-        loc = StreamingLocalizer(make_fnssl_stream_step(params, task.cfg),
-                                 nch=sig.shape[1], ch_mode="MM")
+    if model.startswith("fnssl"):
+        step_fn = art or make_fnssl_stream_step(params, task.cfg)
+        loc = StreamingLocalizer(step_fn, nch=sig.shape[1], ch_mode="MM",
+                                 frames_per_step=frames_per_step)
         decoder = PredDOA()
-        decode = lambda chunk: decoder.predgt2doa(chunk)[0]  # noqa: E731
-    elif args.model in ("ipdnet", "ipdnet_offline"):
-        loc = StreamingLocalizer(make_ipdnet_stream_step(params, task.cfg),
-                                 nch=sig.shape[1], ch_mode="none",
-                                 sample_length=280)
+        decode = lambda chunk: decoder.predgt2doa(  # noqa: E731
+            np.asarray(chunk, np.float32))[0]
+    elif model in ("ipdnet", "ipdnet_offline"):
+        step_fn = art or make_ipdnet_stream_step(params, task.cfg)
+        loc = StreamingLocalizer(step_fn, nch=sig.shape[1],
+                                 ch_mode="none", sample_length=280,
+                                 frames_per_step=frames_per_step)
         decoder = PredDOAMultiTrack(task.dpipd.mic_location,
                                     max_track=task.cfg.max_track)
         decode = lambda chunk: decoder.pred2doa(  # noqa: E731
             np.asarray(chunk, np.float32))[0]
     else:
-        raise SystemExit(f"stream: model {args.model!r} has no causal "
+        raise SystemExit(f"stream: model {model!r} has no causal "
                          "streaming wiring here (ipdnet2 streams via "
                          "runtime.make_spatialnet_stream_step)")
 

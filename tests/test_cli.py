@@ -79,6 +79,38 @@ def test_cli_fit_wires_epoch_length_into_schedule(workdir, monkeypatch):
     assert captured.get("steps_per_epoch") == 3  # 3 scenes, bz 1
 
 
+def test_cli_fit_wires_stall_watchdog(workdir, monkeypatch):
+    """--stall-restart-s must reach Learner.fit as stall_timeout_s with
+    a re-exec action (the wedged-tunnel recovery path)."""
+    captured = {}
+    import fnssl_tpu.train.learner as learner_mod
+
+    real_fit = learner_mod.Learner.fit
+
+    def spy_fit(self, *a, **kw):
+        captured.update(kw)
+        return real_fit(self, *a, **kw)
+
+    monkeypatch.setattr(learner_mod.Learner, "fit", spy_fit)
+    if not os.path.exists("data/train"):
+        main(["simulate", "--out", "data/train", "--num", "3", "--T",
+              "0.5", "--nb-points", "4", "--seed", "1"])
+        main(["simulate", "--out", "data/dev", "--num", "2", "--T",
+              "0.5", "--nb-points", "4", "--seed", "77"])
+    main(["fit", "--model", "fnssl", "--train-dir", "data/train",
+          "--valid-dir", "data/dev", "--epochs", "1", "--bz", "1",
+          "--log-dir", "runs/wd", "--stall-restart-s", "900"])
+    assert captured.get("stall_timeout_s") == 900.0
+    assert callable(captured.get("stall_action"))
+    # default: watchdog off (no timeout above the 600 s worst compile
+    # can be assumed for the user)
+    captured.clear()
+    main(["fit", "--model", "fnssl", "--train-dir", "data/train",
+          "--valid-dir", "data/dev", "--epochs", "1", "--bz", "1",
+          "--log-dir", "runs/wd2"])
+    assert captured.get("stall_timeout_s") is None
+
+
 def test_cli_ipdnet_offline_fit(workdir, capsys):
     """The offline IPDnet variant (bidirectional narrow LSTMs, global
     norm, runIPDnetOff.py) trains and restores via the CLI."""

@@ -162,3 +162,17 @@ def test_cli_export_after_fit(tmp_path, monkeypatch, capsys):
                           return_state=True)
     np.testing.assert_allclose(out, np.asarray(want), rtol=1e-5, atol=1e-5)
     lrn.close()
+
+    # serve the SAME wav through the artifact and through the
+    # checkpoint path: identical DOA track (model code never runs in
+    # the artifact case — the StableHLO chunk step is the model)
+    main(["stream", "--model", "fnssl", "--wav", "data/train/0.wav",
+          "--log-dir", "runs/e", "--out", "st_ckpt/"])
+    capsys.readouterr()
+    main(["stream", "--wav", "data/train/0.wav", "--artifact", "art",
+          "--log-dir", "runs/e", "--out", "st_art/"])
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["out_frames"] >= 1
+    np.testing.assert_allclose(np.load("st_art/doa_est.npy"),
+                               np.load("st_ckpt/doa_est.npy"),
+                               rtol=1e-4, atol=1e-3)
