@@ -168,6 +168,9 @@ def export_model(model: str, params, example_feats: np.ndarray,
     try:
         state0 = None
         if mode == "stream":
+            if init_state is None:
+                raise ValueError(f"{model} has no causal streaming "
+                                 "state; export with mode='forward'")
             state0 = init_state(int(np.shape(example_feats)[0]))
 
             def fn(p, s, x):
@@ -220,7 +223,7 @@ def _resolve(model: str, cfg=None):
                                return_state=return_state)
 
         return apply_fn, lambda nb: init_fnssl_state(nb, 256, cfg)
-    if model == "ipdnet":
+    if model in ("ipdnet", "ipdnet_offline"):
         from fnssl_tpu.models.ipdnet import (
             IPDnetConfig, init_ipdnet_state, ipdnet_apply)
         cfg = cfg or IPDnetConfig()
@@ -229,7 +232,21 @@ def _resolve(model: str, cfg=None):
             return ipdnet_apply(p, x, cfg=cfg, state=state,
                                 return_state=return_state)
 
-        return apply_fn, lambda nb: init_ipdnet_state(nb, 256, cfg)
+        # the offline variant's bidirectional LSTMs have no causal
+        # streaming state — forward-only (chunked offline inference
+        # happens at the caller, data/segments.py)
+        init = (None if model == "ipdnet_offline"
+                else lambda nb: init_ipdnet_state(nb, 256, cfg))
+        return apply_fn, init
+    if model == "variable_ipdnet":
+        from fnssl_tpu.models.ipdnet import (
+            VariableIPDnetConfig, variable_ipdnet_apply)
+        vcfg = cfg or VariableIPDnetConfig()
+
+        def apply_fn(p, x, state=None, return_state=False):
+            return variable_ipdnet_apply(p, x, cfg=vcfg)
+
+        return apply_fn, None            # forward-only
     if model == "ipdnet2":
         from fnssl_tpu.models.spatialnet import (
             SpatialNetConfig, init_spatialnet_state, spatialnet_apply)

@@ -107,6 +107,26 @@ def test_ipdnet2_stream_artifact(tmp_path, rng):
     np.testing.assert_allclose(o1, np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_variable_ipdnet_forward_export(tmp_path, rng):
+    """The array-agnostic variant exports forward-only (pairs on the
+    batch axis); stream mode is a clean error for stateless variants."""
+    from fnssl_tpu.models.ipdnet import (VariableIPDnetConfig,
+                                         init_variable_ipdnet_params,
+                                         variable_ipdnet_apply)
+    cfg = VariableIPDnetConfig()
+    params = init_variable_ipdnet_params(jax.random.PRNGKey(0), cfg)
+    feats = rng.standard_normal((3, 4, 256, 12)).astype(np.float32)
+    export_model("variable_ipdnet", params, feats, str(tmp_path / "art"))
+    m = load_artifact(str(tmp_path / "art"))
+    np.testing.assert_allclose(
+        np.asarray(m(feats)),
+        np.asarray(variable_ipdnet_apply(params, feats, cfg=cfg)),
+        rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError, match="no causal streaming"):
+        export_model("variable_ipdnet", params, feats,
+                     str(tmp_path / "art2"), mode="stream")
+
+
 def test_multiplatform_export_declares_both(tmp_path, rng):
     """platforms=[cpu,tpu] cross-lowers one artifact for both backends
     (scan LSTM path — trace-time Pallas dispatch is disabled); it must
