@@ -580,7 +580,7 @@ def cmd_stream(args):
             print("warning: no checkpoint found; streaming fresh params")
         params = learner.state.params
         learner.close()
-        frames_per_step = 12
+        frames_per_step = 5 if model == "ipdnet2" else 12
 
     sig, fs = read_audio(args.wav)
     if sig.ndim == 1:
@@ -602,10 +602,21 @@ def cmd_stream(args):
                                     max_track=task.cfg.max_track)
         decode = lambda chunk: decoder.pred2doa(  # noqa: E731
             np.asarray(chunk, np.float32))[0]
+    elif model == "ipdnet2":
+        from fnssl_tpu.runtime.streaming import make_spatialnet_stream_step
+        step_fn = art or make_spatialnet_stream_step(params, task.cfg)
+        # IPDnet2 front-end: torch.stft(center=True), hop 0.625·512,
+        # forgetting-norm L=249, all channels (run_IPDnet2.py:82-113)
+        loc = StreamingLocalizer(step_fn, nch=sig.shape[1],
+                                 ch_mode="none", hop=320, center=True,
+                                 sample_length=249,
+                                 frames_per_step=frames_per_step)
+        decoder = PredDOAMultiTrack(task.dpipd.mic_location, max_track=2)
+        decode = lambda chunk: decoder.pred2doa(  # noqa: E731
+            np.asarray(chunk, np.float32))[0]
     else:
         raise SystemExit(f"stream: model {model!r} has no causal "
-                         "streaming wiring here (ipdnet2 streams via "
-                         "runtime.make_spatialnet_stream_step)")
+                         "streaming wiring here")
 
     import time
     step = max(int(fs * args.chunk_ms / 1000.0), 1)

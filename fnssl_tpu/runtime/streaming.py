@@ -41,7 +41,8 @@ class StreamingLocalizer:
     def __init__(self, model_step: Callable, nch: int, *,
                  ch_mode: str = "MM", win_len: int = 512, hop: int = 256,
                  nfft: int = 512, sample_length: int = 298,
-                 frames_per_step: int = 12, eps: float = 1e-6):
+                 frames_per_step: int = 12, eps: float = 1e-6,
+                 center: bool = False):
         self.model_step = model_step
         self.nch = nch
         self.ch_mode = ch_mode
@@ -49,6 +50,13 @@ class StreamingLocalizer:
         self.sample_length = sample_length
         self.frames_per_step = frames_per_step
         self.eps = eps
+        # center=True (the IPDnet2 torch.stft convention) reflect-pads
+        # nfft//2 at the signal start — in a stream that's a one-time
+        # prefix built from the first nfft//2+1 samples; frames then cut
+        # exactly like center=False over the augmented buffer. (The
+        # one-shot end padding has no live-stream equivalent: those tail
+        # frames simply fire once real audio fills their window.)
+        self._need_prefix = bool(center)
         rows = (num_pairs(nch, ch_mode) if ch_mode != "none" else 1)
         self._norm_state = init_state(rows)
         self._samples = np.zeros((0, nch), np.float32)
@@ -59,6 +67,13 @@ class StreamingLocalizer:
     def _frame_chunk(self) -> jax.Array | None:
         """Consume buffered samples into STFT frames (exact one-shot
         framing: frames advance by hop, each sees win_len samples)."""
+        if self._need_prefix:
+            pad = self.nfft // 2
+            if self._samples.shape[0] < pad + 1:
+                return None
+            prefix = self._samples[pad:0:-1]       # np.pad mode="reflect"
+            self._samples = np.concatenate([prefix, self._samples], axis=0)
+            self._need_prefix = False
         n = self._samples.shape[0]
         if n < self.win_len:
             return None

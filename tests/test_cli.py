@@ -79,6 +79,26 @@ def test_cli_fit_wires_epoch_length_into_schedule(workdir, monkeypatch):
     assert captured.get("steps_per_epoch") == 3  # 3 scenes, bz 1
 
 
+def test_cli_stream_ipdnet2(workdir, capsys):
+    """The flagship streams through the CLI serving loop too: 5-ch wav →
+    center=True front-end → stateful OnlineSpatialNet chunk steps →
+    per-track near-field decode."""
+    from fnssl_tpu.utils.audio_io import write_audio
+
+    sig = np.random.default_rng(9).standard_normal(
+        (8000, 5)).astype(np.float32) * 0.1
+    write_audio("five_ch.wav", sig, 16000)
+    capsys.readouterr()
+    main(["stream", "--model", "ipdnet2", "--wav", "five_ch.wav",
+          "--chunk-ms", "200", "--log-dir", "runs/ip2s", "--out",
+          "st_ip2/"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["out_frames"] >= 1
+    doa = np.load("st_ip2/doa_est.npy")
+    assert doa.ndim == 3 and doa.shape[-1] == 2      # 2 tracks
+    assert np.isfinite(doa).all()
+
+
 def test_cli_fit_wires_stall_watchdog(workdir, monkeypatch):
     """--stall-restart-s must reach Learner.fit as stall_timeout_s with
     a re-exec action (the wedged-tunnel recovery path)."""
