@@ -532,6 +532,13 @@ def cmd_predict(args):
         feats = stft_features(x, ch_mode="MM")
         pred = fnssl_apply(params, feats, cfg=task.cfg)
         result, _ = PredDOA().predgt2doa(pred)
+    elif args.model == "ipdnet2":
+        from fnssl_tpu.models.spatialnet import spatialnet_apply
+        feats = stft_features(x, ch_mode="none", win_shift_ratio=0.625,
+                              center=True, sample_length=249)
+        pred = spatialnet_apply(params, feats, cfg=task.cfg)
+        decoder = PredDOAMultiTrack(task.dpipd.mic_location, max_track=2)
+        result, _ = decoder.pred2doa(np.asarray(pred, np.float32))
     else:
         raise SystemExit(f"predict: model {args.model!r} not wired")
     os.makedirs(args.out, exist_ok=True)

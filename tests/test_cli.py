@@ -98,6 +98,12 @@ def test_cli_stream_ipdnet2(workdir, capsys):
     assert doa.ndim == 3 and doa.shape[-1] == 2      # 2 tracks
     assert np.isfinite(doa).all()
 
+    # one-shot predict over the same wav (same decode, whole-utterance)
+    main(["predict", "--model", "ipdnet2", "--wav", "five_ch.wav",
+          "--log-dir", "runs/ip2s", "--out", "pred_ip2/"])
+    pr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pr["frames"] >= st["out_frames"] and pr["tracks"] == 2
+
 
 def test_cli_fit_wires_stall_watchdog(workdir, monkeypatch):
     """--stall-restart-s must reach Learner.fit as stall_timeout_s with
