@@ -128,10 +128,19 @@ def build_parser():
 
     p = sub.add_parser("test", help="evaluate a checkpoint")
     _add_common(p)
-    p.add_argument("--data-dir", required=True)
+    p.add_argument("--data-dir", required=True,
+                   help="wav+npz dir, or RealMAN ma_speech dir for "
+                        "ipdnet2 (with --realman-csv)")
     p.add_argument("--best", action="store_true",
                    help="evaluate the best-valid-loss checkpoint instead "
                         "of the latest (the reference's best_model.tar)")
+    p.add_argument("--realman-csv", default=None,
+                   help="RealMAN targets CSV (ipdnet2)")
+    p.add_argument("--realman-noise", default=None,
+                   help="RealMAN noise dir (ipdnet2)")
+    p.add_argument("--realman-ext", default="flac")
+    p.add_argument("--mic-ids", default="0,1,3,5,7",
+                   help="RealMAN mic subset (ipdnet2)")
 
     p = sub.add_parser("predict", help="DOA prediction for a wav file")
     _add_common(p)
@@ -243,6 +252,25 @@ def _make_task(name: str, args=None):
     raise SystemExit(f"model {name!r} has no CLI task wiring yet")
 
 
+def _restore_learner(args, task, model: str, metric_fn=None,
+                     best: bool = False):
+    """Build a Learner whose optimizer-state STRUCTURE matches what
+    cmd_fit checkpointed for this model (ipdnet2 = AdamW + grad-clip —
+    a different opt_state pytree than plain Adam, so orbax restore
+    rejects a default-optimizer Learner), then restore. Returns
+    (learner, epoch)."""
+    from fnssl_tpu.train.learner import Learner
+
+    params = _init_params(model, task, args.seed)
+    learner = Learner(
+        task.loss_fn, params,
+        optimizer="adamw" if model == "ipdnet2" else "adam",
+        grad_clip=5.0 if model == "ipdnet2" else None,
+        log_dir=args.log_dir, metric_fn=metric_fn, seed=args.seed)
+    epoch = learner.resume(best=best)
+    return learner, epoch
+
+
 def _init_params(name: str, task, seed: int):
     import jax
 
@@ -263,13 +291,14 @@ def _init_params(name: str, task, seed: int):
 
 
 def _realman_batches(args, bz: int, epoch: int, seed: int,
-                     shuffle: bool):
+                     shuffle: bool, data_dir: str | None = None):
     """RealMAN on-the-fly batches for the ipdnet2 task (prefetched)."""
     from fnssl_tpu.data import DataLoader, RealData, collate_realman
     from fnssl_tpu.parallel import host_local_slice
 
     mic_ids = [int(i) for i in args.mic_ids.split(",")]
-    ds = RealData(args.train_dir, [args.realman_csv], args.realman_noise,
+    ds = RealData(data_dir or args.train_dir, [args.realman_csv],
+                  args.realman_noise,
                   use_mic_id=mic_ids, max_source=2, ext=args.realman_ext)
     sched = host_local_slice(len(ds), epoch, seed=seed, shuffle=shuffle)
     return DataLoader(lambda item: ds[item], sched, bz, collate_realman,
@@ -368,9 +397,11 @@ def cmd_fit(args):
             raise SystemExit("ipdnet2 trains on RealMAN: pass "
                              "--realman-csv and --realman-noise")
         train_fn = lambda e: _realman_batches(args, args.bz, e,  # noqa
-                                              args.seed, True)
+                                              args.seed, True,
+                                              data_dir=args.train_dir)
         valid_fn = lambda e: _realman_batches(args, args.bz, 0,  # noqa
-                                              args.seed, False)
+                                              args.seed, False,
+                                              data_dir=args.valid_dir)
     else:
         pad = getattr(task.cfg, "max_track", None)
         train_fn = lambda e: _batches(args.train_dir, args.bz, e,  # noqa
@@ -455,7 +486,6 @@ def cmd_fit(args):
 
 def cmd_test(args):
     from fnssl_tpu.eval import PredDOA
-    from fnssl_tpu.train.learner import Learner
 
     _init_runtime(args)
     _snapshot_config(args)
@@ -486,17 +516,44 @@ def cmd_test(args):
             gtd = {"doa": np.asarray(batch["doa"]),
                    "vad_sources": np.asarray(batch["vad"])}
             return mt(pred, gtd, vad_th=(0.001, 0.5))
+    elif args.model == "ipdnet2":
+        from fnssl_tpu.eval import PredDOAMultiTrack
+        from fnssl_tpu.models.spatialnet import spatialnet_apply
+        mt = PredDOAMultiTrack(task.dpipd.mic_location, max_track=2)
 
-    learner = Learner(task.loss_fn, params, log_dir=args.log_dir,
-                      metric_fn=metric_fn, seed=args.seed)
-    epoch = learner.resume(best=getattr(args, "best", False))
+        def metric_fn(p, batch):
+            feats, _ = task.preprocess(batch["mic_sig"],
+                                       batch["azi_deg"],
+                                       batch["distance"], batch["vad"],
+                                       batch["mic_pos"])
+            pred = spatialnet_apply(p, feats, cfg=task.cfg)
+            nt = min(pred.shape[1], batch["azi_deg"].shape[1])
+            azi = np.asarray(batch["azi_deg"])[:, :nt]
+            doa_gt = np.radians(np.stack(
+                [np.full_like(azi, 90.0), azi], axis=2))
+            dec, _ = mt.pred2doa(np.asarray(pred[:, :nt], np.float32))
+            return mt.evaluate(
+                dec, {"doa": doa_gt,
+                      "vad_sources": np.asarray(batch["vad"])[:, :nt]},
+                vad_th=(0.001, 0.5))
+
+    learner, epoch = _restore_learner(args, task, args.model,
+                                      metric_fn=metric_fn,
+                                      best=getattr(args, "best", False))
     if epoch == 0:
         print("warning: no checkpoint found; testing fresh params")
-    metrics = learner.test(
-        _batches(args.data_dir, args.bz, 0, args.seed, False,
-                 getattr(task.cfg, "max_track", None),
-                 getattr(args, "workers", 2),
-                 getattr(args, "prefetch", 2)))
+    if args.model == "ipdnet2":
+        if not args.realman_csv:
+            raise SystemExit("ipdnet2 tests on RealMAN: pass "
+                             "--realman-csv (and --realman-noise)")
+        batches = _realman_batches(args, args.bz, 0, args.seed, False,
+                                   data_dir=args.data_dir)
+    else:
+        batches = _batches(args.data_dir, args.bz, 0, args.seed, False,
+                           getattr(task.cfg, "max_track", None),
+                           getattr(args, "workers", 2),
+                           getattr(args, "prefetch", 2))
+    metrics = learner.test(batches)
     learner.close()
     print(json.dumps(metrics))
 
@@ -505,15 +562,11 @@ def cmd_predict(args):
     import jax.numpy as jnp
 
     from fnssl_tpu.eval import PredDOA, PredDOAMultiTrack
-    from fnssl_tpu.train.learner import Learner
     from fnssl_tpu.train.preprocess import stft_features
     from fnssl_tpu.utils.audio_io import read_audio
 
     task = _make_task(args.model)
-    params = _init_params(args.model, task, args.seed)
-    learner = Learner(task.loss_fn, params, log_dir=args.log_dir,
-                      seed=args.seed)
-    learner.resume()
+    learner, _ = _restore_learner(args, task, args.model)
     params = learner.state.params
 
     sig, fs = read_audio(args.wav)
@@ -563,7 +616,6 @@ def cmd_stream(args):
     from fnssl_tpu.eval import PredDOA, PredDOAMultiTrack
     from fnssl_tpu.runtime.streaming import (
         StreamingLocalizer, make_fnssl_stream_step, make_ipdnet_stream_step)
-    from fnssl_tpu.train.learner import Learner
     from fnssl_tpu.utils.audio_io import read_audio
 
     _init_runtime(args)
@@ -580,10 +632,8 @@ def cmd_stream(args):
     else:
         model = args.model
         task = _make_task(model, args)
-        params = _init_params(model, task, args.seed)
-        learner = Learner(task.loss_fn, params, log_dir=args.log_dir,
-                          seed=args.seed)
-        if learner.resume(best=True) == 0:
+        learner, epoch = _restore_learner(args, task, model, best=True)
+        if epoch == 0:
             print("warning: no checkpoint found; streaming fresh params")
         params = learner.state.params
         learner.close()
@@ -600,7 +650,7 @@ def cmd_stream(args):
         decoder = PredDOA()
         decode = lambda chunk: decoder.predgt2doa(  # noqa: E731
             np.asarray(chunk, np.float32))[0]
-    elif model in ("ipdnet", "ipdnet_offline"):
+    elif model == "ipdnet":
         step_fn = art or make_ipdnet_stream_step(params, task.cfg)
         loc = StreamingLocalizer(step_fn, nch=sig.shape[1],
                                  ch_mode="none", sample_length=280,
@@ -622,8 +672,10 @@ def cmd_stream(args):
         decode = lambda chunk: decoder.pred2doa(  # noqa: E731
             np.asarray(chunk, np.float32))[0]
     else:
-        raise SystemExit(f"stream: model {model!r} has no causal "
-                         "streaming wiring here")
+        raise SystemExit(f"stream: model {model!r} is not causal "
+                         "(the offline/bidirectional variants see future "
+                         "frames — use `cli predict` or the chunked "
+                         "offline inference in `cli test`)")
 
     import time
     step = max(int(fs * args.chunk_ms / 1000.0), 1)
@@ -660,13 +712,10 @@ def cmd_export(args):
     story (deploying it means shipping the model source tree); see
     runtime/export.py."""
     from fnssl_tpu.runtime.export import export_model
-    from fnssl_tpu.train.learner import Learner
 
     task = _make_task(args.model)
-    params = _init_params(args.model, task, args.seed)
-    learner = Learner(task.loss_fn, params, log_dir=args.log_dir,
-                      seed=args.seed)
-    epoch = learner.resume(best=getattr(args, "best", False))
+    learner, epoch = _restore_learner(args, task, args.model,
+                                      best=getattr(args, "best", False))
     if epoch == 0:
         print("warning: no checkpoint found; exporting fresh params")
     params = learner.state.params
@@ -701,14 +750,10 @@ def cmd_locata(args):
     from fnssl_tpu.data.locata import LocataDataset
     from fnssl_tpu.eval import PredDOA
     from fnssl_tpu.models.fnssl import fnssl_apply
-    from fnssl_tpu.train.learner import Learner
     from fnssl_tpu.train.preprocess import stft_features
 
     task = _make_task(args.model)
-    params = _init_params(args.model, task, args.seed)
-    learner = Learner(task.loss_fn, params, log_dir=args.log_dir,
-                      seed=args.seed)
-    learner.resume()
+    learner, _ = _restore_learner(args, task, args.model)
     params = learner.state.params
 
     tasks = tuple(int(t) for t in args.tasks.split(","))

@@ -105,6 +105,46 @@ def test_cli_stream_ipdnet2(workdir, capsys):
     assert pr["frames"] >= st["out_frames"] and pr["tracks"] == 2
 
 
+def test_cli_ipdnet2_realman_fit_test(workdir, capsys, rng):
+    """The flagship's full CLI lifecycle on RealMAN-layout data: fit
+    (AdamW, fused near-field targets) then test with Hungarian-matched
+    multi-track metrics — run_IPDnet2.py fit/test through one CLI."""
+    from fnssl_tpu.utils.audio_io import write_audio
+
+    fs, nch = 16000, 9
+    ma, dp, nz = "rm/ma_speech", "rm/dp_speech", "rm/noise"
+    for d in (ma, dp, nz):
+        os.makedirs(d, exist_ok=True)
+    rows = ["filename,angle(°),distance"]
+    for rec in range(2):
+        base = rng.standard_normal(int(4.5 * fs)).astype(np.float32) * 0.3
+        for ch in range(nch):
+            write_audio(f"{ma}/r{rec}_CH{ch}.wav", base * (1 + 0.01 * ch),
+                        fs)
+        write_audio(f"{dp}/r{rec}.wav", base, fs)
+        rows.append(f"r{rec}.wav,{30.0 + rec},1.5")
+    open("rm/targets.csv", "w").write("\n".join(rows) + "\n")
+    noise = rng.standard_normal(int(5 * fs)).astype(np.float32) * 0.1
+    for ch in range(nch):
+        write_audio(f"{nz}/amb_CH{ch}.wav", noise, fs)
+
+    capsys.readouterr()
+    main(["fit", "--model", "ipdnet2", "--train-dir", ma + "/",
+          "--valid-dir", ma + "/", "--realman-csv", "rm/targets.csv",
+          "--realman-noise", nz, "--realman-ext", "wav",
+          "--epochs", "1", "--bz", "1", "--log-dir", "runs/rm"])
+    fit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(fit["final_valid"])
+
+    main(["test", "--model", "ipdnet2", "--data-dir", ma + "/",
+          "--realman-csv", "rm/targets.csv", "--realman-noise", nz,
+          "--realman-ext", "wav", "--bz", "1", "--log-dir", "runs/rm"])
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(metrics["loss"] - fit["final_valid"]) < 1e-5   # restored
+    for k in ("ACC", "MAE", "MDR", "FAR"):
+        assert k in metrics and np.isfinite(metrics[k])
+
+
 def test_cli_fit_wires_stall_watchdog(workdir, monkeypatch):
     """--stall-restart-s must reach Learner.fit as stall_timeout_s with
     a re-exec action (the wedged-tunnel recovery path)."""
