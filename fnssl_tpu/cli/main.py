@@ -162,6 +162,20 @@ def build_parser():
                         "code runs — the StableHLO chunk step is the "
                         "model)")
 
+    p = sub.add_parser("serve", help="TCP streaming-localization "
+                       "service: raw PCM in, per-block DOA/VAD JSON out "
+                       "(one independent model stream per connection)")
+    _add_common(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7316)
+    p.add_argument("--artifact", default=None,
+                   help="serve an exported `--mode stream` artifact "
+                        "instead of a checkpoint")
+    p.add_argument("--nch", type=int, default=None,
+                   help="channels per connection (default: the model's "
+                        "native count — 2 for fnssl/ipdnet, the mic "
+                        "subset size for ipdnet2)")
+
     p = sub.add_parser("export", help="serialize a trained model to a "
                        "hermetic serving artifact (StableHLO + weights; "
                        "loadable with runtime.export.load_artifact, no "
@@ -606,25 +620,15 @@ def cmd_predict(args):
     learner.close()
 
 
-def cmd_stream(args):
-    """Chunked streaming DOA over a wav file: audio pushed in
-    ``--chunk-ms`` blocks through the stateful streaming runtime
-    (explicit LSTM/conv/norm carries, streaming ≡ one-shot), DOA decoded
-    per fired output block, wall-clock RTF reported. The reference's
-    causal mode (`is_online=True`, runIPDnetOn) has no serving loop at
-    all — this is the capability its streaming story implies."""
-    from fnssl_tpu.eval import PredDOA, PredDOAMultiTrack
-    from fnssl_tpu.runtime.streaming import (
-        StreamingLocalizer, make_fnssl_stream_step, make_ipdnet_stream_step)
-    from fnssl_tpu.utils.audio_io import read_audio
-
-    _init_runtime(args)
-    art = None
+def _load_stream_model(args):
+    """Shared stream/serve head: artifact or best-checkpoint weights.
+    Returns (model, task, params, art, frames_per_step)."""
+    art, params = None, None
     if args.artifact:
         from fnssl_tpu.runtime.export import load_artifact
         art = load_artifact(args.artifact)
         if art.meta["mode"] != "stream":
-            raise SystemExit("stream needs a `cli export --mode stream` "
+            raise SystemExit("needs a `cli export --mode stream` "
                              "artifact")
         model = art.meta["model"]
         task = _make_task(model, args)       # decode metadata only
@@ -634,48 +638,83 @@ def cmd_stream(args):
         task = _make_task(model, args)
         learner, epoch = _restore_learner(args, task, model, best=True)
         if epoch == 0:
-            print("warning: no checkpoint found; streaming fresh params")
+            print("warning: no checkpoint found; using fresh params")
         params = learner.state.params
         learner.close()
         frames_per_step = 5 if model == "ipdnet2" else 12
+    return model, task, params, art, frames_per_step
 
-    sig, fs = read_audio(args.wav)
-    if sig.ndim == 1:
-        raise SystemExit("stream needs a multichannel wav")
-    sig = sig.astype(np.float32)
+
+def _stream_session_factory(model, task, params, art, nch,
+                            frames_per_step):
+    """Build (make_localizer, decode) for one model family — every call
+    to make_localizer() is an independent stream (fresh model state +
+    forgetting-norm statistics); decode is stateless and shared."""
+    from fnssl_tpu.eval import PredDOA, PredDOAMultiTrack
+    from fnssl_tpu.runtime.streaming import (
+        StreamingLocalizer, make_fnssl_stream_step,
+        make_ipdnet_stream_step, make_spatialnet_stream_step)
+
+    def _step():
+        if art is not None:
+            return art.clone()
+        if model.startswith("fnssl"):
+            return make_fnssl_stream_step(params, task.cfg)
+        if model == "ipdnet":
+            return make_ipdnet_stream_step(params, task.cfg)
+        return make_spatialnet_stream_step(params, task.cfg)
+
     if model.startswith("fnssl"):
-        step_fn = art or make_fnssl_stream_step(params, task.cfg)
-        loc = StreamingLocalizer(step_fn, nch=sig.shape[1], ch_mode="MM",
-                                 frames_per_step=frames_per_step)
         decoder = PredDOA()
         decode = lambda chunk: decoder.predgt2doa(  # noqa: E731
             np.asarray(chunk, np.float32))[0]
+        make_loc = lambda: StreamingLocalizer(  # noqa: E731
+            _step(), nch=nch, ch_mode="MM",
+            frames_per_step=frames_per_step)
     elif model == "ipdnet":
-        step_fn = art or make_ipdnet_stream_step(params, task.cfg)
-        loc = StreamingLocalizer(step_fn, nch=sig.shape[1],
-                                 ch_mode="none", sample_length=280,
-                                 frames_per_step=frames_per_step)
         decoder = PredDOAMultiTrack(task.dpipd.mic_location,
                                     max_track=task.cfg.max_track)
         decode = lambda chunk: decoder.pred2doa(  # noqa: E731
             np.asarray(chunk, np.float32))[0]
+        make_loc = lambda: StreamingLocalizer(  # noqa: E731
+            _step(), nch=nch, ch_mode="none", sample_length=280,
+            frames_per_step=frames_per_step)
     elif model == "ipdnet2":
-        from fnssl_tpu.runtime.streaming import make_spatialnet_stream_step
-        step_fn = art or make_spatialnet_stream_step(params, task.cfg)
         # IPDnet2 front-end: torch.stft(center=True), hop 0.625·512,
         # forgetting-norm L=249, all channels (run_IPDnet2.py:82-113)
-        loc = StreamingLocalizer(step_fn, nch=sig.shape[1],
-                                 ch_mode="none", hop=320, center=True,
-                                 sample_length=249,
-                                 frames_per_step=frames_per_step)
         decoder = PredDOAMultiTrack(task.dpipd.mic_location, max_track=2)
         decode = lambda chunk: decoder.pred2doa(  # noqa: E731
             np.asarray(chunk, np.float32))[0]
+        make_loc = lambda: StreamingLocalizer(  # noqa: E731
+            _step(), nch=nch, ch_mode="none", hop=320, center=True,
+            sample_length=249, frames_per_step=frames_per_step)
     else:
         raise SystemExit(f"stream: model {model!r} is not causal "
                          "(the offline/bidirectional variants see future "
                          "frames — use `cli predict` or the chunked "
                          "offline inference in `cli test`)")
+    return make_loc, decode
+
+
+def cmd_stream(args):
+    """Chunked streaming DOA over a wav file: audio pushed in
+    ``--chunk-ms`` blocks through the stateful streaming runtime
+    (explicit LSTM/conv/norm carries, streaming ≡ one-shot), DOA decoded
+    per fired output block, wall-clock RTF reported. The reference's
+    causal mode (`is_online=True`, runIPDnetOn) has no serving loop at
+    all — this is the capability its streaming story implies."""
+    from fnssl_tpu.utils.audio_io import read_audio
+
+    _init_runtime(args)
+    model, task, params, art, frames_per_step = _load_stream_model(args)
+
+    sig, fs = read_audio(args.wav)
+    if sig.ndim == 1:
+        raise SystemExit("stream needs a multichannel wav")
+    sig = sig.astype(np.float32)
+    make_loc, decode = _stream_session_factory(
+        model, task, params, art, sig.shape[1], frames_per_step)
+    loc = make_loc()
 
     import time
     step = max(int(fs * args.chunk_ms / 1000.0), 1)
@@ -703,6 +742,30 @@ def cmd_stream(args):
         "rtf": round(wall / (sig.shape[0] / fs), 4),
         "azimuth_deg_first5": np.round(azi[:5], 2).tolist(),
         "out": args.out}))
+
+
+def cmd_serve(args):
+    """TCP streaming-localization service (runtime/server.py): one
+    independent model stream per connection, PCM in / DOA JSON out —
+    the deployment endpoint the reference leaves to the user."""
+    from fnssl_tpu.runtime.server import LocalizationServer
+
+    _init_runtime(args)
+    model, task, params, art, frames_per_step = _load_stream_model(args)
+    nch = args.nch or (len(args.mic_ids.split(","))
+                       if model == "ipdnet2" and hasattr(args, "mic_ids")
+                       else {"ipdnet2": 5}.get(model, 2))
+    make_loc, decode = _stream_session_factory(
+        model, task, params, art, nch, frames_per_step)
+
+    server = LocalizationServer(lambda: (make_loc(), decode),
+                                host=args.host, port=args.port)
+    print(json.dumps({"serving": model, "host": args.host,
+                      "port": server.port, "nch": nch}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
 
 
 def cmd_export(args):
@@ -804,7 +867,8 @@ def main(argv=None):
     args._argv = list(argv) if argv is not None else sys.argv[1:]
     {"simulate": cmd_simulate, "fit": cmd_fit, "test": cmd_test,
      "predict": cmd_predict, "stream": cmd_stream,
-     "export": cmd_export, "locata": cmd_locata}[args.cmd](args)
+     "export": cmd_export, "serve": cmd_serve,
+     "locata": cmd_locata}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -295,6 +295,12 @@ class ServingModel:
     def reset(self):
         self._state = self._init_state
 
+    def clone(self) -> "ServingModel":
+        """Independent stream over the same compiled call + weights
+        (fresh state) — one per served connection."""
+        return ServingModel(self._call, self._params, self.meta,
+                            self._init_state)
+
 
 def load_artifact(path: str) -> ServingModel:
     """Deserialize a directory written by export_model."""
