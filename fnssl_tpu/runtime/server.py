@@ -23,6 +23,14 @@ Wire protocol (newline-framed JSON control, length-framed binary audio):
 
 Everything is plain sockets — no framework dependency — so a client is
 ~15 lines in any language.
+
+Flow-control note: the server alternates read-block → send-outputs, so
+a client that pumps a very long recording without ever reading responses
+can fill both TCP buffers and stall the pair. Live clients read as they
+send (audio arrives in real time); batch clients should either read
+concurrently or keep pushes under the OS socket-buffer budget (the
+bundled stream_client sends ≤ a few hundred KB per session, far below
+it).
 """
 from __future__ import annotations
 
