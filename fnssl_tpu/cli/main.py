@@ -29,7 +29,7 @@ def _add_common(p):
     p.add_argument("--model", default="fnssl",
                    choices=["fnssl", "fnssl_doa", "ipdnet",
                             "ipdnet_offline", "variable_ipdnet",
-                            "ipdnet2"])
+                            "ipdnet2", "ipd_baseline"])
     p.add_argument("--log-dir", default="runs/default")
     p.add_argument("--config", default=None,
                    help="YAML file of argument defaults")
@@ -263,6 +263,9 @@ def _make_task(name: str, args=None):
             ids = [int(i) for i in args.mic_ids.split(",")]
             mic = audiowu_high_array_geometry()[ids]
         return tasks.make_ipdnet2_task(mic_location=mic, **pol)
+    if name == "ipd_baseline":
+        raise SystemExit("ipd_baseline is model-free (no training); "
+                         "use `cli predict --model ipd_baseline`")
     raise SystemExit(f"model {name!r} has no CLI task wiring yet")
 
 
@@ -578,6 +581,28 @@ def cmd_predict(args):
     from fnssl_tpu.eval import PredDOA, PredDOAMultiTrack
     from fnssl_tpu.train.preprocess import stft_features
     from fnssl_tpu.utils.audio_io import read_audio
+
+    if args.model == "ipd_baseline":
+        # DNN-free classical path (the reference's wDNN=False,
+        # Learner.py:208-214): measured cross-spectrum IPD decoded on
+        # the template grid — no checkpoint, no parameters
+        from fnssl_tpu.eval import ipd_baseline
+
+        sig, fs = read_audio(args.wav)
+        if sig.ndim == 1 or sig.shape[1] != 2:
+            raise SystemExit("ipd_baseline needs a 2-channel wav")
+        result = ipd_baseline(sig[None].astype(np.float32), PredDOA())
+        os.makedirs(args.out, exist_ok=True)
+        doa = np.degrees(np.asarray(result["doa"]))
+        np.save(os.path.join(args.out, "doa_est.npy"), doa)
+        np.save(os.path.join(args.out, "vad_est.npy"),
+                np.asarray(result["vad_sources"]))
+        print(json.dumps({"frames": int(doa.shape[1]),
+                          "tracks": int(doa.shape[-1]),
+                          "azimuth_deg_first5":
+                              doa[0, :5, 1, 0].tolist(),
+                          "out": args.out}))
+        return
 
     task = _make_task(args.model)
     learner, _ = _restore_learner(args, task, args.model)

@@ -105,6 +105,26 @@ def test_cli_stream_ipdnet2(workdir, capsys):
     assert pr["frames"] >= st["out_frames"] and pr["tracks"] == 2
 
 
+def test_cli_predict_ipd_baseline(workdir, capsys):
+    """The DNN-free classical path (wDNN=False, Learner.py:208-214)
+    runs straight from a wav with no checkpoint."""
+    if not os.path.exists("data/dev"):
+        main(["simulate", "--out", "data/dev", "--num", "2", "--T",
+              "0.5", "--nb-points", "4", "--seed", "77"])
+    capsys.readouterr()
+    main(["predict", "--model", "ipd_baseline", "--wav", "data/dev/0.wav",
+          "--out", "pred_base/"])
+    pred = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pred["frames"] >= 1
+    doa = np.load("pred_base/doa_est.npy")
+    assert np.isfinite(doa).all()
+    # fit/test with the model-free baseline is a clean, explicit error
+    with pytest.raises(SystemExit, match="model-free"):
+        main(["fit", "--model", "ipd_baseline", "--train-dir", "data/dev",
+              "--valid-dir", "data/dev", "--epochs", "1",
+              "--log-dir", "runs/nope"])
+
+
 def test_cli_ipdnet2_realman_fit_test(workdir, capsys, rng):
     """The flagship's full CLI lifecycle on RealMAN-layout data: fit
     (AdamW, fused near-field targets) then test with Hungarian-matched
