@@ -520,16 +520,28 @@ def cmd_test(args):
             pred = fnssl_apply(p, feats, cfg=task.cfg)
             gtd = {"doa": batch["doa"], "vad_sources": batch["vad"]}
             return pred_doa(pred, gtd)
-    elif args.model == "ipdnet":
+    elif args.model in ("ipdnet", "ipdnet_offline", "variable_ipdnet"):
         from fnssl_tpu.eval import PredDOAMultiTrack
-        from fnssl_tpu.models.ipdnet import ipdnet_apply
-        mt = PredDOAMultiTrack(task.dpipd.mic_location,
-                               max_track=task.cfg.max_track)
+        if args.model == "variable_ipdnet":
+            # pairs ride the batch axis; one utterance per forward —
+            # decode on the all-pair ('MM') template grid
+            from fnssl_tpu.models.ipdnet import (
+                variable_ipdnet_apply as _net_apply)
+            mt = PredDOAMultiTrack(task.dpipd.mic_location,
+                                   max_track=getattr(task.cfg,
+                                                     "max_track", 2),
+                                   ch_mode="MM")
+        else:
+            # ipdnet_offline's cfg routes ipdnet_apply through the
+            # 312-frame chunked offline inference (models/ipdnet.py)
+            from fnssl_tpu.models.ipdnet import ipdnet_apply as _net_apply
+            mt = PredDOAMultiTrack(task.dpipd.mic_location,
+                                   max_track=task.cfg.max_track)
 
         def metric_fn(p, batch):
             feats, gt = task.preprocess(batch["mic_sig"], batch["doa"],
                                         batch["vad"])
-            pred = ipdnet_apply(p, feats, cfg=task.cfg)
+            pred = _net_apply(p, feats, cfg=task.cfg)
             gtd = {"doa": np.asarray(batch["doa"]),
                    "vad_sources": np.asarray(batch["vad"])}
             return mt(pred, gtd, vad_th=(0.001, 0.5))

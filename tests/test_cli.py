@@ -215,6 +215,28 @@ def test_cli_ipdnet_offline_fit(workdir, capsys):
           "--bz", "1", "--log-dir", "runs/off"])
     metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert abs(metrics["loss"] - result["final_valid"]) < 1e-6
+    assert "ACC" in metrics and "MAE" in metrics   # chunked-decode eval
+
+
+def test_cli_variable_ipdnet_fit_test(workdir, capsys):
+    """Variable-array IPDnet through fit/test with multi-track metrics
+    (pairs on the batch axis, all-pair template decode)."""
+    if not os.path.exists("data/train"):
+        main(["simulate", "--out", "data/train", "--num", "3", "--T",
+              "0.5", "--nb-points", "4", "--seed", "1"])
+        main(["simulate", "--out", "data/dev", "--num", "2", "--T",
+              "0.5", "--nb-points", "4", "--seed", "77"])
+    capsys.readouterr()
+    main(["fit", "--model", "variable_ipdnet", "--train-dir",
+          "data/train", "--valid-dir", "data/dev", "--epochs", "1",
+          "--bz", "1", "--log-dir", "runs/var"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(result["final_valid"])
+    main(["test", "--model", "variable_ipdnet", "--data-dir", "data/dev",
+          "--bz", "1", "--log-dir", "runs/var"])
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(metrics["loss"] - result["final_valid"]) < 1e-6
+    assert "ACC" in metrics and np.isfinite(metrics["MAE"])
 
 
 def test_cli_fit_rss_restart_execs_with_resume(workdir, monkeypatch,
