@@ -852,9 +852,15 @@ def cmd_locata(args):
     from fnssl_tpu.models.fnssl import fnssl_apply
     from fnssl_tpu.train.preprocess import stft_features
 
-    task = _make_task(args.model)
-    learner, _ = _restore_learner(args, task, args.model)
-    params = learner.state.params
+    baseline = args.model == "ipd_baseline"
+    if baseline:
+        # wDNN=False on LOCATA (Learner.py:208-214): no checkpoint
+        from fnssl_tpu.eval import ipd_baseline
+        task = learner = None
+    else:
+        task = _make_task(args.model)
+        learner, _ = _restore_learner(args, task, args.model)
+        params = learner.state.params
 
     tasks = tuple(int(t) for t in args.tasks.split(","))
     ds = LocataDataset(args.locata_dir, array=args.array, fs=16000,
@@ -868,10 +874,13 @@ def cmd_locata(args):
     for idx in range(len(ds)):
         mic, gts = ds[idx]
         sig2 = np.stack([mic[:, m1], mic[:, m2]], axis=1)
-        feats = stft_features(
-            jnp.asarray(sig2[None].astype(np.float32)), ch_mode="MM")
-        pred = fnssl_apply(params, feats, cfg=task.cfg)
-        result, _ = decoder.predgt2doa(pred)
+        if baseline:
+            result = ipd_baseline(sig2[None].astype(np.float32), decoder)
+        else:
+            feats = stft_features(
+                jnp.asarray(sig2[None].astype(np.float32)), ch_mode="MM")
+            pred = fnssl_apply(params, feats, cfg=task.cfg)
+            result, _ = decoder.predgt2doa(pred)
         nseg = min(gts["doa"].shape[0], np.asarray(result["doa"]).shape[1])
         gt = {"doa": gts["doa"][None, :nseg],
               "vad_sources": gts["vad_sources"].mean(axis=1)[None, :nseg]}
@@ -893,7 +902,8 @@ def cmd_locata(args):
         locata_plot(args.out + os.sep, args.out + os.sep,
                     n_tasks=len(ds))
     print(json.dumps({"recordings": len(ds), **summary}))
-    learner.close()
+    if learner is not None:
+        learner.close()
 
 
 def main(argv=None):

@@ -83,3 +83,21 @@ def test_locata_scene_contract(locata_dir):
     # dataset VAD: first-half active ratio ≈ 0.5 after silence strip
     ratio = scene.mic_vad_sources.mean()
     assert 0.3 < ratio < 0.7
+
+
+def test_cli_locata_ipd_baseline(locata_dir, tmp_path, monkeypatch,
+                                 capsys):
+    """`cli locata --model ipd_baseline` evaluates the DNN-free path on
+    LOCATA-format recordings — no checkpoint, VAD-gated metrics + npy
+    dumps (the reference's wDNN=False on its Predict flow)."""
+    from fnssl_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    main(["locata", "--model", "ipd_baseline", "--locata-dir", locata_dir,
+          "--tasks", "3", "--out", "loc_base/"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json
+    res = json.loads(out)
+    assert res["recordings"] == 1
+    assert np.isfinite(res["MAE"])
+    assert os.path.exists("loc_base/0_est.npy")
