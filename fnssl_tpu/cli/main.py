@@ -175,6 +175,13 @@ def build_parser():
                    help="channels per connection (default: the model's "
                         "native count — 2 for fnssl/ipdnet, the mic "
                         "subset size for ipdnet2)")
+    p.add_argument("--slots", type=int, default=0,
+                   help="slot-batched execution: up to N concurrent "
+                        "streams ride ONE static-shape device program "
+                        "(masked per-slot state reset/carry, "
+                        "runtime/slots.py — 16 batched streams measured "
+                        "at ~the wall cost of one). 0 = one chunk step "
+                        "per connection")
 
     p = sub.add_parser("export", help="serialize a trained model to a "
                        "hermetic serving artifact (StableHLO + weights; "
@@ -683,16 +690,20 @@ def _load_stream_model(args):
 
 
 def _stream_session_factory(model, task, params, art, nch,
-                            frames_per_step):
+                            frames_per_step, pool=None):
     """Build (make_localizer, decode) for one model family — every call
     to make_localizer() is an independent stream (fresh model state +
-    forgetting-norm statistics); decode is stateless and shared."""
+    forgetting-norm statistics); decode is stateless and shared.
+    ``pool`` (a runtime.slots.BatchedStreamPool) swaps the per-stream
+    chunk step for a leased slot in one batched device program."""
     from fnssl_tpu.eval import PredDOA, PredDOAMultiTrack
     from fnssl_tpu.runtime.streaming import (
         StreamingLocalizer, make_fnssl_stream_step,
         make_ipdnet_stream_step, make_spatialnet_stream_step)
 
     def _step():
+        if pool is not None:
+            return pool.session()
         if art is not None:
             return art.clone()
         if model.startswith("fnssl"):
@@ -792,8 +803,26 @@ def cmd_serve(args):
     nch = args.nch or (len(args.mic_ids.split(","))
                        if model == "ipdnet2" and hasattr(args, "mic_ids")
                        else {"ipdnet2": 5}.get(model, 2))
+    pool = None
+    if args.slots:
+        if art is not None:
+            raise SystemExit("--slots serves from a checkpoint (an "
+                             "artifact bakes a fixed batch size)")
+        from fnssl_tpu.core.pairs import num_pairs
+        from fnssl_tpu.runtime.export import _resolve
+        from fnssl_tpu.runtime.slots import BatchedStreamPool
+
+        apply_fn, init_state = _resolve(model, task.cfg)
+        if model.startswith("fnssl"):
+            rows, cin = num_pairs(nch, "MM"), 4
+        else:
+            rows, cin = 1, 2 * nch
+        pool = BatchedStreamPool(
+            apply_fn, params, init_state,
+            feats_shape=(rows, cin, 256, frames_per_step),
+            slots=args.slots)
     make_loc, decode = _stream_session_factory(
-        model, task, params, art, nch, frames_per_step)
+        model, task, params, art, nch, frames_per_step, pool=pool)
 
     server = LocalizationServer(lambda: (make_loc(), decode),
                                 host=args.host, port=args.port)

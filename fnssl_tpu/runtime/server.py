@@ -108,6 +108,7 @@ class LocalizationServer:
     # ------------------------------------------------------- connection
 
     def _handle(self, conn: socket.socket):
+        localizer = None
         try:
             f = conn.makefile("rb")
             header = json.loads(f.readline().decode())
@@ -145,7 +146,7 @@ class LocalizationServer:
                         conn.sendall(json.dumps(msg).encode() + b"\n")
                         emitted += 1
         except (ConnectionError, json.JSONDecodeError, KeyError,
-                ValueError) as e:
+                ValueError, RuntimeError) as e:
             try:
                 conn.sendall(json.dumps(
                     {"error": f"{type(e).__name__}: {e}"}).encode()
@@ -153,6 +154,11 @@ class LocalizationServer:
             except OSError:
                 pass
         finally:
+            # slot-pool sessions must release their slot on disconnect
+            close = getattr(getattr(localizer, "model_step", None),
+                            "close", None)
+            if close is not None:
+                close()
             conn.close()
 
 

@@ -1,0 +1,241 @@
+"""Slot-batched streaming execution — TPU-first multi-stream serving.
+
+One connection = one chunk step (batch 1) wastes the chip: the measured
+16-stream batched chunk step costs the same wall time as one stream
+(BASELINE.md: 253× aggregate real-time at 16 concurrent IPDnet2
+streams). This module turns that measurement into a serving primitive:
+
+  * a FIXED number of slots S → every device program has ONE static
+    shape (XLA never recompiles as connections come and go);
+  * per-slot streaming state lives stacked in the batch axis; slot
+    acquire/release is a masked state reset INSIDE the jitted step
+    (no host-side state surgery, no per-connection retrace);
+  * a slot with no pending chunk this tick keeps its old state (masked
+    state carry), so slow and fast streams interleave freely;
+  * submissions batch opportunistically: the dispatcher waits
+    ``batch_window_s`` after the first pending chunk to gather more.
+
+The batch-axis bookkeeping is model-agnostic: the slot axis of every
+state leaf is discovered by comparing ``init_state(1)`` vs
+``init_state(2)`` shapes (each leaf scales at exactly one axis, checked
+at construction), so any present or future model family with an
+``init_state(nb)`` works unmodified.
+"""
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future
+from typing import Callable
+
+import numpy as np
+
+
+def _slot_axes(init_state_fn):
+    """Tree of per-leaf slot-axis indices, via the shape delta between
+    nb=1 and nb=2 states. Leaves that don't scale with nb get -1."""
+    import jax
+
+    s1 = jax.eval_shape(lambda: init_state_fn(1))
+    s2 = jax.eval_shape(lambda: init_state_fn(2))
+
+    def axis(a, b):
+        diffs = [i for i, (x, y) in enumerate(zip(a.shape, b.shape))
+                 if x != y]
+        if not diffs:
+            return -1
+        if len(diffs) != 1 or b.shape[diffs[0]] != 2 * a.shape[diffs[0]]:
+            raise ValueError(
+                f"state leaf {a.shape}→{b.shape} does not scale "
+                "linearly at one axis; slot batching unsupported")
+        return diffs[0]
+
+    return jax.tree.map(axis, s1, s2)
+
+
+def _per_slot_where(mask, a, b, axis, slots):
+    """where(mask_per_slot, a, b) along a leaf's slot axis. The slot
+    axis holds slots-major blocks of size leaf.shape[axis]//slots
+    (row-major flattening of (nb, k, ...) everywhere in the models)."""
+    import jax.numpy as jnp
+
+    if axis < 0:
+        return a
+    k = a.shape[axis] // slots
+    av = jnp.moveaxis(a, axis, 0)
+    bv = jnp.moveaxis(b, axis, 0)
+    rest = av.shape[1:]
+    av = av.reshape((slots, k) + rest)
+    bv = bv.reshape((slots, k) + rest)
+    m = mask.reshape((slots,) + (1,) * (av.ndim - 1))
+    out = jnp.where(m, av, bv).reshape((slots * k,) + rest)
+    return jnp.moveaxis(out, 0, axis)
+
+
+class SlotBatchedStepper:
+    """S-slot batched stateful chunk step with masked reset/carry.
+
+    step(feats, reset_mask, active_mask) runs ONE jitted program:
+      state   = where(reset,  fresh,        state)     # new streams
+      out, st = apply(params, feats, state)
+      state   = where(active, st,           state)     # carry idle slots
+    """
+
+    def __init__(self, apply_fn: Callable, params, init_state_fn,
+                 slots: int):
+        import jax
+        import jax.numpy as jnp
+
+        self.slots = slots
+        self._axes = _slot_axes(init_state_fn)
+        self._state = init_state_fn(slots)
+        fresh1 = init_state_fn(1)
+        # fresh state for ALL slots (broadcast of the 1-slot state)
+        self._fresh = jax.tree.map(
+            lambda f, ax: (f if ax < 0 else
+                           jnp.concatenate([f] * slots, axis=ax)),
+            fresh1, self._axes)
+
+        def _step(params, state, feats, reset, active):
+            state = jax.tree.map(
+                lambda fr, st, ax: _per_slot_where(reset, fr, st, ax,
+                                                   slots),
+                self._fresh, state, self._axes)
+            out, stepped = apply_fn(params, feats, state=state,
+                                    return_state=True)
+            state = jax.tree.map(
+                lambda new, old, ax: _per_slot_where(active, new, old,
+                                                     ax, slots),
+                stepped, state, self._axes)
+            return out, state
+
+        self._jit_step = jax.jit(_step)
+        self._params = params
+
+    def step(self, feats, reset_mask: np.ndarray,
+             active_mask: np.ndarray):
+        """feats: (slots·rows, C, nf, k) with zeros in idle rows."""
+        out, self._state = self._jit_step(
+            self._params, self._state, feats,
+            np.asarray(reset_mask, bool), np.asarray(active_mask, bool))
+        return out
+
+
+class BatchedStreamPool:
+    """Connection-facing pool over a SlotBatchedStepper.
+
+    ``session()`` leases a slot and returns a callable usable as a
+    StreamingLocalizer ``model_step`` (with ``.close()`` to free the
+    slot). Concurrent sessions' chunks ride the SAME device program.
+
+    Args:
+      apply_fn/params/init_state_fn: the pure model step family
+        (runtime.export._resolve provides these per model name).
+      feats_shape: per-stream chunk shape (rows, C, nf, k) — rows is
+        the pair count P (1 for 2-mic models).
+      slots: max concurrent streams.
+      batch_window_s: how long the dispatcher waits after the first
+        pending chunk to batch more (2 ms default — far below chunk
+        real-time spacing, large vs dispatch cost).
+    """
+
+    def __init__(self, apply_fn, params, init_state_fn, feats_shape,
+                 slots: int = 8, batch_window_s: float = 0.002):
+        rows = int(feats_shape[0])
+        self.rows, self.slots = rows, slots
+        self.stepper = SlotBatchedStepper(
+            apply_fn, params, lambda nb: init_state_fn(nb * rows), slots)
+        self._feats_shape = tuple(feats_shape)
+        self._free = list(range(slots))
+        self._needs_reset = np.zeros(slots, bool)
+        self._pending: dict[int, tuple[np.ndarray, Future]] = {}
+        self._lock = threading.Lock()
+        self._event = threading.Event()
+        self._stop = False
+        self.window = batch_window_s
+        self.ticks = 0
+        self._thread = threading.Thread(target=self._dispatch,
+                                        daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------ leases
+
+    def session(self):
+        with self._lock:
+            if not self._free:
+                raise RuntimeError(f"all {self.slots} slots leased")
+            slot = self._free.pop(0)
+            self._needs_reset[slot] = True
+        return _SlotSession(self, slot)
+
+    def _release(self, slot: int):
+        with self._lock:
+            self._free.append(slot)
+
+    def close(self):
+        self._stop = True
+        self._event.set()
+        self._thread.join(timeout=5.0)
+
+    # --------------------------------------------------------- dispatch
+
+    def _submit(self, slot: int, feats: np.ndarray) -> Future:
+        fut: Future = Future()
+        with self._lock:
+            assert slot not in self._pending, \
+                "one in-flight chunk per slot (submit blocks on result)"
+            self._pending[slot] = (np.asarray(feats, np.float32), fut)
+        self._event.set()
+        return fut
+
+    def _dispatch(self):
+        import time
+        while not self._stop:
+            if not self._event.wait(timeout=0.2):
+                continue
+            time.sleep(self.window)            # gather a batch
+            with self._lock:
+                if not self._pending:
+                    self._event.clear()
+                    continue
+                batch, self._pending = self._pending, {}
+                reset = self._needs_reset.copy()
+                for slot in batch:
+                    self._needs_reset[slot] = False
+                self._event.clear()
+            rows, S = self.rows, self.slots
+            feats = np.zeros((S * rows,) + self._feats_shape[1:],
+                             np.float32)
+            active = np.zeros(S, bool)
+            for slot, (fa, _) in batch.items():
+                feats[slot * rows:(slot + 1) * rows] = fa
+                active[slot] = True
+            # reset exactly the slots stepping for the first time this
+            # lease; untouched leased slots keep reset pending
+            reset = reset & active
+            try:
+                out = self.stepper.step(feats, reset, active)
+                out = np.asarray(out)
+                self.ticks += 1
+                for slot, (_, fut) in batch.items():
+                    fut.set_result(out[slot * rows:(slot + 1) * rows])
+            except Exception as e:               # propagate to callers
+                for _, fut in batch.values():
+                    fut.set_exception(e)
+
+
+class _SlotSession:
+    """A leased slot: callable chunk step for StreamingLocalizer."""
+
+    def __init__(self, pool: BatchedStreamPool, slot: int):
+        self._pool, self._slot = pool, slot
+        self._open = True
+
+    def __call__(self, feats):
+        if not self._open:
+            raise RuntimeError("session closed")
+        return self._pool._submit(self._slot, feats).result()
+
+    def close(self):
+        if self._open:
+            self._open = False
+            self._pool._release(self._slot)

@@ -111,3 +111,44 @@ def test_cli_serve_wiring(tmp_path, monkeypatch, capsys):
     outs = loc.push(np.zeros((4000, 2), np.float32))
     assert outs and np.isfinite(
         np.asarray(decode(outs[0])["doa"])).all()
+
+
+def test_cli_serve_slot_batched(tmp_path, monkeypatch, capsys):
+    """cli serve --slots N: sessions lease slots in ONE batched device
+    program; outputs equal the unbatched path and slots free on
+    close()."""
+    from fnssl_tpu.cli.main import main
+    from fnssl_tpu.runtime import server as server_mod
+    from fnssl_tpu.runtime.slots import _SlotSession
+
+    captured = {}
+    real_init = server_mod.LocalizationServer.__init__
+
+    def spy_init(self, session_factory, **kw):
+        captured["factory"] = session_factory
+        real_init(self, session_factory, **kw)
+
+    monkeypatch.setattr(server_mod.LocalizationServer, "__init__",
+                        spy_init)
+    monkeypatch.setattr(server_mod.LocalizationServer, "serve_forever",
+                        lambda self: None)
+    monkeypatch.chdir(tmp_path)
+    sig = np.random.default_rng(5).standard_normal(
+        (8000, 2)).astype(np.float32) * 0.1
+
+    main(["serve", "--model", "fnssl", "--log-dir", "runs/none",
+          "--port", "0", "--slots", "2"])
+    capsys.readouterr()
+    loc, decode = captured["factory"]()
+    assert isinstance(loc.model_step, _SlotSession)
+    outs = [np.asarray(o) for o in loc.push(sig)]
+    loc.model_step.close()
+
+    main(["serve", "--model", "fnssl", "--log-dir", "runs/none",
+          "--port", "0"])                          # unbatched reference
+    capsys.readouterr()
+    loc2, decode2 = captured["factory"]()
+    want = [np.asarray(o) for o in loc2.push(sig)]
+    assert len(outs) == len(want) >= 1
+    for g, w in zip(outs, want):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)

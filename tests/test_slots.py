@@ -1,0 +1,118 @@
+"""Slot-batched streaming pool (runtime/slots.py): concurrent streams
+through ONE static-shape device program must be bit-equal to dedicated
+per-stream steppers, across interleaved rates and slot reuse."""
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from fnssl_tpu.models.fnssl import (FNSSLConfig, fnssl_apply,
+                                    init_fnssl_params, init_fnssl_state)
+from fnssl_tpu.runtime.slots import BatchedStreamPool
+
+
+@pytest.fixture(scope="module")
+def pool_setup():
+    cfg = FNSSLConfig()
+    params = init_fnssl_params(jax.random.PRNGKey(0), cfg)
+
+    def apply_fn(p, x, state=None, return_state=False):
+        return fnssl_apply(p, x, cfg=cfg, state=state,
+                           return_state=return_state)
+
+    def init_state(nb):
+        return init_fnssl_state(nb, 256, cfg)
+
+    pool = BatchedStreamPool(apply_fn, params, init_state,
+                             feats_shape=(1, 4, 256, 12), slots=3)
+    yield params, cfg, apply_fn, init_state, pool
+    pool.close()
+
+
+def _reference_stream(apply_fn, params, init_state, chunks):
+    state = init_state(1)
+    outs = []
+    for c in chunks:
+        o, state = apply_fn(params, c, state=state, return_state=True)
+        outs.append(np.asarray(o))
+    return outs
+
+
+def test_pool_matches_dedicated_streams(pool_setup):
+    params, cfg, apply_fn, init_state, pool = pool_setup
+    rng = np.random.default_rng(0)
+    streams = [[rng.standard_normal((1, 4, 256, 12)).astype(np.float32)
+                for _ in range(3)] for _ in range(2)]
+
+    results = [[] for _ in streams]
+
+    def run(i):
+        s = pool.session()
+        try:
+            for c in streams[i]:
+                results[i].append(np.asarray(s(c)))
+        finally:
+            s.close()
+
+    threads = [threading.Thread(target=run, args=(i,))
+               for i in range(len(streams))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for i, chunks in enumerate(streams):
+        want = _reference_stream(apply_fn, params, init_state, chunks)
+        for got, w in zip(results[i], want):
+            np.testing.assert_allclose(got, w, rtol=1e-5, atol=1e-6)
+
+
+def test_pool_slot_reuse_resets_state(pool_setup):
+    """Release + re-lease a slot: the new stream must start from fresh
+    state, not the previous lease's carry."""
+    params, cfg, apply_fn, init_state, pool = pool_setup
+    rng = np.random.default_rng(1)
+    c1 = rng.standard_normal((1, 4, 256, 12)).astype(np.float32)
+    c2 = rng.standard_normal((1, 4, 256, 12)).astype(np.float32)
+
+    s = pool.session()
+    s(c1); s(c1)                      # advance state, then release
+    s.close()
+    s2 = pool.session()
+    got = np.asarray(s2(c2))
+    s2.close()
+    want = _reference_stream(apply_fn, params, init_state, [c2])[0]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pool_idle_slots_keep_state(pool_setup):
+    """A slow stream's state must not advance while other streams tick:
+    interleave a fast stream (3 chunks) between a slow stream's two
+    chunks and check the slow stream is unaffected."""
+    params, cfg, apply_fn, init_state, pool = pool_setup
+    rng = np.random.default_rng(2)
+    slow = [rng.standard_normal((1, 4, 256, 12)).astype(np.float32)
+            for _ in range(2)]
+    fast = [rng.standard_normal((1, 4, 256, 12)).astype(np.float32)
+            for _ in range(3)]
+
+    ss, sf = pool.session(), pool.session()
+    got = [np.asarray(ss(slow[0]))]
+    for c in fast:                    # slow stream idles across these
+        sf(c)
+    got.append(np.asarray(ss(slow[1])))
+    ss.close(); sf.close()
+
+    want = _reference_stream(apply_fn, params, init_state, slow)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+
+def test_pool_exhaustion_raises(pool_setup):
+    *_, pool = pool_setup
+    leases = [pool.session() for _ in range(3)]
+    with pytest.raises(RuntimeError, match="slots leased"):
+        pool.session()
+    for s in leases:
+        s.close()
