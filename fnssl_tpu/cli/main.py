@@ -525,7 +525,18 @@ def cmd_test(args):
             feats, gt = task.preprocess(batch["mic_sig"], batch["doa"],
                                         batch["vad"])
             pred = fnssl_apply(p, feats, cfg=task.cfg)
-            gtd = {"doa": batch["doa"], "vad_sources": batch["vad"]}
+            gtd = {"doa": np.asarray(batch["doa"]),
+                   "vad_sources": np.asarray(batch["vad"])}
+            if args.model == "fnssl_doa":
+                # classification head: argmax class = azimuth degree
+                # (Learner.py:489-505), not an IPD to grid-decode
+                from fnssl_tpu.eval import predgt2doa_cls
+                est, _ = predgt2doa_cls(pred)
+                nt = min(np.asarray(est["doa"]).shape[1],
+                         gtd["doa"].shape[1])
+                return pred_doa.evaluate(
+                    {k: np.asarray(v)[:, :nt] for k, v in est.items()},
+                    {k: v[:, :nt] for k, v in gtd.items()})
             return pred_doa(pred, gtd)
     elif args.model in ("ipdnet", "ipdnet_offline", "variable_ipdnet"):
         from fnssl_tpu.eval import PredDOAMultiTrack
@@ -642,7 +653,11 @@ def cmd_predict(args):
         from fnssl_tpu.models.fnssl import fnssl_apply
         feats = stft_features(x, ch_mode="MM")
         pred = fnssl_apply(params, feats, cfg=task.cfg)
-        result, _ = PredDOA().predgt2doa(pred)
+        if args.model == "fnssl_doa":
+            from fnssl_tpu.eval import predgt2doa_cls
+            result, _ = predgt2doa_cls(pred)
+        else:
+            result, _ = PredDOA().predgt2doa(pred)
     elif args.model == "ipdnet2":
         from fnssl_tpu.models.spatialnet import spatialnet_apply
         feats = stft_features(x, ch_mode="none", win_shift_ratio=0.625,
@@ -712,7 +727,14 @@ def _stream_session_factory(model, task, params, art, nch,
             return make_ipdnet_stream_step(params, task.cfg)
         return make_spatialnet_stream_step(params, task.cfg)
 
-    if model.startswith("fnssl"):
+    if model == "fnssl_doa":
+        from fnssl_tpu.eval import predgt2doa_cls
+        decode = lambda chunk: predgt2doa_cls(  # noqa: E731
+            np.asarray(chunk, np.float32))[0]
+        make_loc = lambda: StreamingLocalizer(  # noqa: E731
+            _step(), nch=nch, ch_mode="MM",
+            frames_per_step=frames_per_step)
+    elif model.startswith("fnssl"):
         decoder = PredDOA()
         decode = lambda chunk: decoder.predgt2doa(  # noqa: E731
             np.asarray(chunk, np.float32))[0]

@@ -218,6 +218,37 @@ def test_cli_ipdnet_offline_fit(workdir, capsys):
     assert "ACC" in metrics and "MAE" in metrics   # chunked-decode eval
 
 
+def test_cli_fnssl_doa_lifecycle(workdir, capsys):
+    """Regression: the classification head decodes via argmax-class
+    (predgt2doa_cls), not the IPD grid decoder — cli test used to crash
+    reshaping 180-class logits into the 512-dim template."""
+    if not os.path.exists("data/train"):
+        main(["simulate", "--out", "data/train", "--num", "3", "--T",
+              "0.5", "--nb-points", "4", "--seed", "1"])
+        main(["simulate", "--out", "data/dev", "--num", "2", "--T",
+              "0.5", "--nb-points", "4", "--seed", "77"])
+    capsys.readouterr()
+    main(["fit", "--model", "fnssl_doa", "--train-dir", "data/train",
+          "--valid-dir", "data/dev", "--epochs", "1", "--bz", "1",
+          "--log-dir", "runs/doa"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(result["final_valid"])
+    main(["test", "--model", "fnssl_doa", "--data-dir", "data/dev",
+          "--bz", "1", "--log-dir", "runs/doa"])
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(metrics["loss"] - result["final_valid"]) < 1e-5
+    assert "ACC" in metrics and np.isfinite(metrics["MAE"])
+    main(["predict", "--model", "fnssl_doa", "--wav", "data/dev/0.wav",
+          "--log-dir", "runs/doa", "--out", "pred_doa/"])
+    pred = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pred["frames"] >= 1
+    main(["stream", "--model", "fnssl_doa", "--wav", "data/dev/0.wav",
+          "--log-dir", "runs/doa", "--out", "st_doa/"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["out_frames"] >= 1
+    assert np.isfinite(np.load("st_doa/doa_est.npy")).all()
+
+
 def test_cli_variable_ipdnet_fit_test(workdir, capsys):
     """Variable-array IPDnet through fit/test with multi-track metrics
     (pairs on the batch axis, all-pair template decode)."""
