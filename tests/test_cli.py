@@ -218,6 +218,37 @@ def test_cli_ipdnet_offline_fit(workdir, capsys):
     assert "ACC" in metrics and "MAE" in metrics   # chunked-decode eval
 
 
+def test_cli_ipdnet_lifecycle(workdir, capsys):
+    """Online multi-track IPDnet through fit/test/predict/stream (the
+    family of the r3 scale run, previously only covered at scale)."""
+    if not os.path.exists("data/train"):
+        main(["simulate", "--out", "data/train", "--num", "3", "--T",
+              "0.5", "--nb-points", "4", "--seed", "1"])
+        main(["simulate", "--out", "data/dev", "--num", "2", "--T",
+              "0.5", "--nb-points", "4", "--seed", "77"])
+    capsys.readouterr()
+    main(["fit", "--model", "ipdnet", "--train-dir", "data/train",
+          "--valid-dir", "data/dev", "--epochs", "1", "--bz", "1",
+          "--log-dir", "runs/ipd"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(result["final_valid"])
+    main(["test", "--model", "ipdnet", "--data-dir", "data/dev",
+          "--bz", "1", "--log-dir", "runs/ipd"])
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(metrics["loss"] - result["final_valid"]) < 1e-5
+    assert "ACC" in metrics
+    main(["predict", "--model", "ipdnet", "--wav", "data/dev/0.wav",
+          "--log-dir", "runs/ipd", "--out", "pred_ipd/"])
+    pred = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pred["tracks"] == 2
+    main(["stream", "--model", "ipdnet", "--wav", "data/dev/0.wav",
+          "--log-dir", "runs/ipd", "--out", "st_ipd/"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["out_frames"] >= 1
+    doa = np.load("st_ipd/doa_est.npy")
+    assert doa.shape[-1] == 2 and np.isfinite(doa).all()
+
+
 def test_cli_fnssl_doa_lifecycle(workdir, capsys):
     """Regression: the classification head decodes via argmax-class
     (predgt2doa_cls), not the IPD grid decoder — cli test used to crash
