@@ -179,6 +179,8 @@ class BatchedStreamPool:
     # --------------------------------------------------------- dispatch
 
     def _submit(self, slot: int, feats: np.ndarray) -> Future:
+        if self._stop:
+            raise RuntimeError("pool closed")   # else the future hangs
         fut: Future = Future()
         with self._lock:
             assert slot not in self._pending, \
