@@ -218,6 +218,38 @@ def test_cli_ipdnet_offline_fit(workdir, capsys):
     assert "ACC" in metrics and "MAE" in metrics   # chunked-decode eval
 
 
+def test_cli_shipped_config_presets(workdir, capsys, monkeypatch):
+    """The shipped configs/ presets load through --config; explicit CLI
+    flags still override them."""
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    if not os.path.exists("data/train"):
+        main(["simulate", "--out", "data/train", "--num", "3", "--T",
+              "0.5", "--nb-points", "4", "--seed", "1"])
+    capsys.readouterr()
+    main(["fit", "--config", str(repo / "configs" / "fnssl.yaml"),
+          "--train-dir", "data/train", "--valid-dir", "data/train",
+          "--epochs", "1", "--bz", "1", "--precision", "fp32",
+          "--log-dir", "runs/cfg"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(result["final_valid"])
+    snap = json.load(open("runs/cfg/config.json"))
+    assert snap["model"] == "fnssl" and snap["epochs"] == 1  # override
+    assert snap["early_stop_patience"] == 10                 # preset
+    # every shipped preset parses and its keys are real CLI dests
+    import yaml
+    from fnssl_tpu.cli.main import build_parser
+    ap = build_parser()
+    fit = next(a for a in ap._subparsers._group_actions[0].choices.values()
+               if any(x.dest == "train_dir" for x in a._actions))
+    dests = {a.dest for a in fit._actions}
+    for cfg in (repo / "configs").glob("*.yaml"):
+        keys = yaml.safe_load(cfg.read_text())
+        unknown = set(keys) - dests
+        assert not unknown, f"{cfg.name}: unknown keys {unknown}"
+
+
 def test_cli_ipdnet_lifecycle(workdir, capsys):
     """Online multi-track IPDnet through fit/test/predict/stream (the
     family of the r3 scale run, previously only covered at scale)."""
