@@ -321,3 +321,44 @@ def test_fit_stall_action_fires_on_wedged_step(tmp_path, monkeypatch):
     assert fired == [True]
     assert lrn._watchdog is None   # disarmed on exit
     lrn.close()
+
+
+def test_fit_sigterm_finishes_epoch_checkpoints_and_stops(tmp_path):
+    """Graceful preemption (SURVEY §5.3): SIGTERM mid-epoch must let the
+    in-flight epoch finish, checkpoint it, return from fit, and restore
+    the previous handler — the exact sequence a real scale run exercised
+    when its session was cut (BASELINE.md r3 IPDnet2 re-measurement)."""
+    import os
+    import signal
+
+    import jax.numpy as jnp
+
+    prev_handler = signal.getsignal(signal.SIGTERM)
+
+    def loss_fn(params, batch, rng):
+        return (params["w"] * jnp.asarray(batch["v"])).sum() ** 2
+
+    hit = {"sent": False}
+
+    def batches(epoch):
+        for _ in range(3):
+            if epoch == 1 and not hit["sent"]:
+                hit["sent"] = True   # mid-epoch-1: handler runs inline
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield {"v": np.ones((2,), np.float32)}
+
+    lrn = Learner(loss_fn, {"w": jnp.ones((2,))},
+                  log_dir=str(tmp_path / "run"),
+                  early_stopping=EarlyStopping(0))
+    hist = lrn.fit(batches, batches, epochs=5)
+    # epoch 1 completed (not aborted mid-stream), then the loop stopped
+    assert hit["sent"] and lrn.epoch == 2 and len(hist["valid"]) == 2
+    assert signal.getsignal(signal.SIGTERM) is prev_handler
+    lrn.close()
+
+    # the checkpoint covers the interrupted run: resume continues at 2
+    lrn2 = Learner(loss_fn, {"w": jnp.ones((2,))},
+                   log_dir=str(tmp_path / "run"),
+                   early_stopping=EarlyStopping(0))
+    assert lrn2.resume() == 2
+    lrn2.close()
