@@ -92,12 +92,21 @@ def build_parser():
                    help="simulation stage constants (Simu.py variants)")
     p.add_argument("--stage", default="train",
                    choices=["train", "dev", "test"])
+    p.add_argument("--compact", action="store_true",
+                   help="write compact per-scene npz (int16 mic + "
+                        "segmented labels, ~0.3 MB/scene) instead of the "
+                        "wav+pickle contract (~8 MB/scene); both are "
+                        "read transparently by fit/test")
 
     p = sub.add_parser("fit", help="train a model")
     _add_common(p)
     p.add_argument("--train-dir", required=True,
                    help="wav+npz dir, or RealMAN ma_speech dir for ipdnet2")
     p.add_argument("--valid-dir", required=True)
+    p.add_argument("--train-size", type=int, default=None,
+                   help="use only the first N scenes of --train-dir "
+                        "(numeric filename order) — scaling-curve runs "
+                        "train nested subsets of one corpus")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--resume", action="store_true")
@@ -332,7 +341,8 @@ def _realman_batches(args, bz: int, epoch: int, seed: int,
 
 def _batches(data_dir: str, bz: int, epoch: int, seed: int,
              shuffle: bool, pad_tracks: int | None = None,
-             workers: int = 2, prefetch: int = 2):
+             workers: int = 2, prefetch: int = 2,
+             dataset_sz: int | None = None):
     """Deterministic per-epoch sharded batches from a wav+npz dir,
     assembled on the prefetching loader so file IO + segmenting overlap
     the device step."""
@@ -340,7 +350,8 @@ def _batches(data_dir: str, bz: int, epoch: int, seed: int,
         Segmenting, collate_segmented
     from fnssl_tpu.parallel import host_local_slice
 
-    ds = FixTrajectoryDataset(data_dir, transforms=[Segmenting()])
+    ds = FixTrajectoryDataset(data_dir, dataset_sz=dataset_sz,
+                              transforms=[Segmenting()])
     sched = host_local_slice(len(ds), epoch, seed=seed, shuffle=shuffle)
     return DataLoader(
         lambda entry: ds[entry[0]], sched, bz,
@@ -366,7 +377,7 @@ def cmd_simulate(args):
         ds = make_fnssl_trajectory_dataset(
             src, T=args.T, num_source=args.num_source,
             nb_points=args.nb_points, seed=args.seed)
-    generate(args.out, args.num, dataset=ds,
+    generate(args.out, args.num, dataset=ds, compact=args.compact,
              log_every=max(args.num // 10, 1))
     print(f"wrote {args.num} scenes to {args.out}")
 
@@ -430,7 +441,8 @@ def cmd_fit(args):
         pad = getattr(task.cfg, "max_track", None)
         train_fn = lambda e: _batches(args.train_dir, args.bz, e,  # noqa
                                       args.seed, True, pad,
-                                      args.workers, args.prefetch)
+                                      args.workers, args.prefetch,
+                                      dataset_sz=args.train_size)
         valid_fn = lambda e: _batches(args.valid_dir, args.bz, 0,  # noqa
                                       args.seed, False, pad,
                                       args.workers, args.prefetch)

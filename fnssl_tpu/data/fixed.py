@@ -1,8 +1,10 @@
-"""Pre-generated dataset reader + batching (wav + pickled-scene npz).
+"""Pre-generated dataset reader + batching (wav + pickled-scene npz,
+or the compact per-scene npz written by ``generate(compact=True)``).
 
 Parity: FN-SSL/Dataset.py:491-545 ``FixTrajectoryDataset``. Returns
 (mic_signals, {'doa', 'vad_sources'}) at the segment rate when a
-Segmenting transform is attached.
+Segmenting transform is attached (compact scenes store the segmented
+labels directly, so transforms are skipped for them).
 """
 from __future__ import annotations
 
@@ -13,13 +15,47 @@ import numpy as np
 from fnssl_tpu.data.scene import AcousticScene, load_file
 
 
+def save_compact(path: str, mic_signals: np.ndarray, scene,
+                 segmenting) -> None:
+    """One self-contained npz per scene: scaled-int16 mic signals +
+    per-segment DOA and window-mean VAD (what training actually
+    consumes; the int16 quantization sits ~90 dB under the per-file
+    peak, far below the simulated noise floor)."""
+    mic_signals, scene = segmenting(mic_signals, scene)
+    scale = max(float(np.abs(mic_signals).max()), 1e-9) / 0.95
+    i16 = np.rint(np.clip(mic_signals / scale * 32767.0,
+                          -32767, 32767)).astype(np.int16)
+    # (nseg, K, ns) window VAD → window mean, kept 3-D so the collate
+    # contract (mean over the window axis) is unchanged
+    vad_w = scene.mic_vad_sources.mean(axis=1, keepdims=True)
+    np.savez(path, compact=np.int8(1), mic_i16=i16,
+             scale=np.float32(scale),
+             doa_w=scene.DOAw.astype(np.float32),
+             vad_w=vad_w.astype(np.float32),
+             fs=np.int32(scene.fs))
+
+
+def _numeric_key(path: str):
+    stem = os.path.splitext(os.path.basename(path))[0]
+    try:
+        return (0, int(stem), path)
+    except ValueError:
+        return (1, 0, path)
+
+
 class FixTrajectoryDataset:
     def __init__(self, data_dir: str, dataset_sz: int | None = None,
                  transforms=None, return_acoustic_scene: bool = False):
         self.transforms = transforms
+        files = os.listdir(data_dir)
         self.data_paths = sorted(
-            os.path.join(data_dir, f) for f in os.listdir(data_dir)
-            if f.endswith(".wav"))
+            (os.path.join(data_dir, f) for f in files
+             if f.endswith(".wav")), key=_numeric_key)
+        self.compact = not self.data_paths
+        if self.compact:   # a dir of compact npz scenes (no wavs)
+            self.data_paths = sorted(
+                (os.path.join(data_dir, f) for f in files
+                 if f.endswith(".npz")), key=_numeric_key)
         self.dataset_sz = (len(self.data_paths) if dataset_sz is None
                            else dataset_sz)
         self.return_acoustic_scene = return_acoustic_scene
@@ -33,6 +69,15 @@ class FixTrajectoryDataset:
         if idx < 0:
             idx = len(self) + idx
         sig_path = self.data_paths[idx]
+        if self.compact:
+            if self.return_acoustic_scene:
+                raise ValueError("compact scenes store only training "
+                                 "labels, not the full AcousticScene")
+            z = np.load(sig_path)
+            mic = z["mic_i16"].astype(np.float32) * (
+                float(z["scale"]) / 32767.0)
+            return mic, {"doa": z["doa_w"].astype(np.float32),
+                         "vad_sources": z["vad_w"]}
         acous_path = sig_path[:-4] + ".npz"
         mic_signals, scene = load_file(AcousticScene.empty(), sig_path,
                                        acous_path)

@@ -87,16 +87,40 @@ def make_ipdnet_trajectory_dataset(source_dataset=None, *, stage: str =
 
 
 def generate(out_dir: str, num: int, dataset=None, start_idx: int = 0,
-             log_every: int = 0):
-    """Write ``num`` wav+npz pairs (the reference's Simu.py main loop)."""
+             log_every: int = 0, compact: bool = False):
+    """Write ``num`` scenes (the reference's Simu.py main loop).
+
+    ``compact=False`` writes the reference wav + pickled-scene contract
+    (FN-SSL/utils.py:138-164, ~8 MB/scene — the pickle keeps the full
+    noise/source signals and per-sample trajectories). ``compact=True``
+    writes one self-contained npz per scene holding only what training
+    consumes — scaled-int16 mic signals plus the per-segment DOA/VAD
+    labels the Segmenting transform would produce (Dataset.py:759-837)
+    — ~0.3 MB/scene, so reference-scale corpora (IPDnet trains on 300k
+    utterances, IPDnet/Simu.py:12-29) fit ordinary disks. Both formats
+    are read transparently by FixTrajectoryDataset. Existing files are
+    skipped, so an interrupted generation resumes where it stopped.
+    """
+    from fnssl_tpu.data.fixed import save_compact
+
     os.makedirs(out_dir, exist_ok=True)
     dataset = dataset or make_fnssl_trajectory_dataset()
+    seg = None
+    if compact:
+        from fnssl_tpu.data.segmenting import Segmenting
+        seg = Segmenting()
     for i in range(start_idx, start_idx + num):
+        path = os.path.join(out_dir, f"{i:06d}.npz" if compact
+                            else f"{i}.wav")
+        if os.path.exists(path):
+            continue
         scene = dataset.get_random_scene(i)
         mic_signals = scene.simulate()
-        save_file(mic_signals.astype(np.float32), scene,
-                  os.path.join(out_dir, f"{i}.wav"),
-                  os.path.join(out_dir, f"{i}.npz"))
+        if compact:
+            save_compact(path, mic_signals.astype(np.float32), scene, seg)
+        else:
+            save_file(mic_signals.astype(np.float32), scene, path,
+                      os.path.join(out_dir, f"{i}.npz"))
         if log_every and (i + 1) % log_every == 0:
-            print(f"generated {i + 1 - start_idx}/{num}")
+            print(f"generated {i + 1 - start_idx}/{num}", flush=True)
     return out_dir

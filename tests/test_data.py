@@ -98,6 +98,40 @@ def test_generate_read_train_contract(tmp_path):
     np.testing.assert_array_equal(mic, again)
 
 
+def test_generate_compact_matches_full(tmp_path):
+    """generate(compact=True) stores the same training labels as the
+    wav+pickle contract, with the mic signal within int16 quantization;
+    FixTrajectoryDataset reads both transparently and collates
+    identically-shaped batches."""
+    ds = make_fnssl_trajectory_dataset(T=1.0, nb_points=8, seed=7)
+    full = generate(str(tmp_path / "full"), num=2, dataset=ds)
+    comp = generate(str(tmp_path / "comp"), num=2, dataset=ds,
+                    compact=True)
+    fix_f = FixTrajectoryDataset(full, transforms=[Segmenting()])
+    fix_c = FixTrajectoryDataset(comp)
+    assert fix_c.compact and len(fix_c) == 2
+    for i in range(2):
+        mic_f, gts_f = fix_f[i]
+        mic_c, gts_c = fix_c[i]
+        step = np.abs(mic_f).max() / 0.95 / 32767  # int16 LSB
+        np.testing.assert_allclose(mic_c, mic_f, atol=0.55 * step)
+        np.testing.assert_allclose(gts_c["doa"], gts_f["doa"], atol=1e-6)
+        # compact VAD is the stored window mean; K axis collapses to 1
+        np.testing.assert_allclose(
+            gts_c["vad_sources"][:, 0],
+            gts_f["vad_sources"].mean(axis=1), atol=1e-6)
+    bf = collate_segmented([fix_f[0], fix_f[1]], pad_tracks=2)
+    bc = collate_segmented([fix_c[0], fix_c[1]], pad_tracks=2)
+    for k in bf:
+        assert bf[k].shape == bc[k].shape
+        np.testing.assert_allclose(bc[k], bf[k], atol=2e-4)
+    # resume: re-running generate skips existing files untouched
+    before = sorted((tmp_path / "comp").iterdir())
+    mtimes = [p.stat().st_mtime_ns for p in before]
+    generate(str(tmp_path / "comp"), num=2, dataset=ds, compact=True)
+    assert [p.stat().st_mtime_ns for p in before] == mtimes
+
+
 def test_scene_reproducible_per_seed():
     ds = make_fnssl_trajectory_dataset(T=0.5, nb_points=4, seed=3)
     a = ds.get_random_scene(5)
