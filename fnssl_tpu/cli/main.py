@@ -107,6 +107,13 @@ def build_parser():
                    help="use only the first N scenes of --train-dir "
                         "(numeric filename order) — scaling-curve runs "
                         "train nested subsets of one corpus")
+    p.add_argument("--spawn", type=int, default=None, metavar="N",
+                   help="launch the whole N-process DP world from this "
+                        "one command (the Lightning auto-spawn analogue, "
+                        "Lightning/main.py:286-288): re-runs this same "
+                        "fit N times with --coordinator/--num-processes/"
+                        "--process-id filled in; rank 0 prints here, "
+                        "other ranks log to <log-dir>/rankK.spawn.log")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--resume", action="store_true")
@@ -129,6 +136,10 @@ def build_parser():
     p.add_argument("--early-stop-min-delta", type=float, default=0.01)
     p.add_argument("--realman-csv", default=None,
                    help="RealMAN targets CSV (ipdnet2)")
+    p.add_argument("--realman-valid-csv", default=None,
+                   help="targets CSV for --valid-dir (each RealMAN "
+                        "split carries its own CSV; defaults to "
+                        "--realman-csv)")
     p.add_argument("--realman-noise", default=None,
                    help="RealMAN noise dir (ipdnet2)")
     p.add_argument("--realman-ext", default="flac")
@@ -324,13 +335,14 @@ def _init_params(name: str, task, seed: int):
 
 
 def _realman_batches(args, bz: int, epoch: int, seed: int,
-                     shuffle: bool, data_dir: str | None = None):
+                     shuffle: bool, data_dir: str | None = None,
+                     csv: str | None = None):
     """RealMAN on-the-fly batches for the ipdnet2 task (prefetched)."""
     from fnssl_tpu.data import DataLoader, RealData, collate_realman
     from fnssl_tpu.parallel import host_local_slice
 
     mic_ids = [int(i) for i in args.mic_ids.split(",")]
-    ds = RealData(data_dir or args.train_dir, [args.realman_csv],
+    ds = RealData(data_dir or args.train_dir, [csv or args.realman_csv],
                   args.realman_noise,
                   use_mic_id=mic_ids, max_source=2, ext=args.realman_ext)
     sched = host_local_slice(len(ds), epoch, seed=seed, shuffle=shuffle)
@@ -410,10 +422,74 @@ def _resolve_rss_limit(value: float | None) -> float | None:
     return None
 
 
+def _spawn_world(args) -> None:
+    """One-command multi-process DP launch: re-exec this fit N times
+    with --coordinator/--num-processes/--process-id filled in and wait
+    for the world (the reference's Lightning per-device auto-spawn,
+    Lightning/main.py:286-288). Rank 0 inherits this terminal; other
+    ranks write <log-dir>/rankK.spawn.log. Exits with the first
+    non-zero child code."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    argv, skip = [], False
+    for a in args._argv:
+        if skip:
+            skip = False
+            continue
+        if a == "--spawn":
+            skip = True
+            continue
+        if a.startswith("--spawn="):
+            continue
+        argv.append(a)
+    env = dict(os.environ)
+    # children must resolve fnssl_tpu even when run from a source tree
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    if args.platform == "cpu" and "XLA_FLAGS" not in env:
+        # one device per rank + generous collective timeouts (a rank
+        # paying a first-compile must not trip its peers' collectives)
+        env["XLA_FLAGS"] = (
+            "--xla_force_host_platform_device_count=1"
+            " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+    os.makedirs(args.log_dir, exist_ok=True)
+    procs, logs = [], []
+    for rank in range(args.spawn):
+        cmd = [sys.executable, "-m", "fnssl_tpu.cli"] + argv + [
+            "--coordinator", f"127.0.0.1:{port}",
+            "--num-processes", str(args.spawn),
+            "--process-id", str(rank)]
+        if rank == 0:
+            procs.append(subprocess.Popen(cmd, env=env))
+        else:
+            logf = open(os.path.join(args.log_dir,
+                                     f"rank{rank}.spawn.log"), "w")
+            logs.append(logf)
+            procs.append(subprocess.Popen(cmd, env=env, stdout=logf,
+                                          stderr=subprocess.STDOUT))
+    rcs = [p.wait() for p in procs]
+    for logf in logs:
+        logf.close()
+    bad = [(i, rc) for i, rc in enumerate(rcs) if rc]
+    if bad:
+        raise SystemExit(f"spawned ranks failed: {bad} "
+                         f"(see {args.log_dir}/rankK.spawn.log)")
+
+
 def cmd_fit(args):
     from fnssl_tpu.train.learner import EarlyStopping, Learner
     from fnssl_tpu.utils.logging import set_seed
 
+    if getattr(args, "spawn", None) and args.spawn > 1 \
+            and args.num_processes is None:
+        return _spawn_world(args)
     _init_runtime(args)
     if args.debug_nans:
         import jax
@@ -436,7 +512,8 @@ def cmd_fit(args):
                                               data_dir=args.train_dir)
         valid_fn = lambda e: _realman_batches(args, args.bz, 0,  # noqa
                                               args.seed, False,
-                                              data_dir=args.valid_dir)
+                                              data_dir=args.valid_dir,
+                                              csv=args.realman_valid_csv)
     else:
         pad = getattr(task.cfg, "max_track", None)
         train_fn = lambda e: _batches(args.train_dir, args.bz, e,  # noqa

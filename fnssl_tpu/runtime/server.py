@@ -28,9 +28,18 @@ Flow-control note: the server alternates read-block → send-outputs, so
 a client that pumps a very long recording without ever reading responses
 can fill both TCP buffers and stall the pair. Live clients read as they
 send (audio arrives in real time); batch clients should either read
-concurrently or keep pushes under the OS socket-buffer budget (the
-bundled stream_client sends ≤ a few hundred KB per session, far below
-it).
+concurrently or keep the response volume under the OS socket-buffer
+budget (~100 bytes per 192 ms output block — minutes of audio fit). A
+pair that does wedge is bounded, not hung: every connection carries a
+send timeout (``send_timeout_s``) after which the server drops it.
+
+Error-path duplexing: when the server rejects a stream (bad header,
+wrong channel count, decode failure) it half-closes its write side and
+DRAINS the client's remaining bytes until EOF before closing, so the
+error JSON survives in the client's receive buffer instead of being
+destroyed by a TCP reset. ``stream_client`` mirrors this: a send
+failure (server already closed the read side) falls through to the
+response reader to collect the server's verdict.
 """
 from __future__ import annotations
 
@@ -64,8 +73,9 @@ class LocalizationServer:
     """
 
     def __init__(self, session_factory: Callable, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, send_timeout_s: float = 30.0):
         self.session_factory = session_factory
+        self.send_timeout_s = send_timeout_s
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -79,6 +89,9 @@ class LocalizationServer:
         (or a signal handler) to stop."""
         self._sock.settimeout(0.5)
         while not self._stop.is_set():
+            # reap finished connection threads: a long-lived daemon must
+            # not grow its bookkeeping with total connections served
+            self._threads = [t for t in self._threads if t.is_alive()]
             try:
                 conn, _ = self._sock.accept()
             except socket.timeout:
@@ -107,15 +120,45 @@ class LocalizationServer:
 
     # ------------------------------------------------------- connection
 
+    @staticmethod
+    def _reject(conn: socket.socket, f, payload: bytes,
+                drain_timeout_s: float = 5.0):
+        """Deliverable-error close: send ``payload``, half-close the
+        write side, then drain whatever the client is still sending
+        until it sees our FIN and closes. Closing outright while bytes
+        are in flight makes the kernel answer the client's next block
+        with RST, which destroys the unread error JSON in the client's
+        receive buffer — the race this method exists to prevent."""
+        try:
+            conn.sendall(payload)
+            conn.shutdown(socket.SHUT_WR)
+        except OSError:
+            return
+        conn.settimeout(drain_timeout_s)
+        try:
+            while f.read(65536):
+                pass
+        except (OSError, ValueError):
+            pass
+
     def _handle(self, conn: socket.socket):
         localizer = None
+        f = None
         try:
+            # bound sendall: a peer that never reads (both TCP buffers
+            # full) wedges this thread forever otherwise. SO_SNDTIMEO
+            # bounds only sends — a live stream may legitimately pause
+            # between pushes for longer than this.
+            sec = int(self.send_timeout_s)
+            usec = int((self.send_timeout_s - sec) * 1e6)
+            conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDTIMEO,
+                            struct.pack("ll", sec, usec))
             f = conn.makefile("rb")
             header = json.loads(f.readline().decode())
             nch = int(header["nch"])
             localizer, decode = self.session_factory()
             if localizer.nch != nch:
-                conn.sendall(json.dumps(
+                self._reject(conn, f, json.dumps(
                     {"error": f"server model expects nch="
                               f"{localizer.nch}, got {nch}"}).encode()
                     + b"\n")
@@ -147,12 +190,10 @@ class LocalizationServer:
                         emitted += 1
         except (ConnectionError, json.JSONDecodeError, KeyError,
                 ValueError, RuntimeError) as e:
-            try:
-                conn.sendall(json.dumps(
+            if f is not None:
+                self._reject(conn, f, json.dumps(
                     {"error": f"{type(e).__name__}: {e}"}).encode()
                     + b"\n")
-            except OSError:
-                pass
         finally:
             # slot-pool sessions must release their slot on disconnect
             close = getattr(getattr(localizer, "model_step", None),
@@ -163,25 +204,50 @@ class LocalizationServer:
 
 
 def stream_client(host: str, port: int, sig: np.ndarray,
-                  block: int = 1600):
+                  block: int = 1600, read_every: int = 0):
     """Reference client: send (nsample, nch) float32 PCM in ``block``-
     sample pieces, return the server's decoded outputs. (Also the test
-    harness — the protocol is trivial enough that this IS the spec.)"""
+    harness — the protocol is trivial enough that this IS the spec.)
+
+    A send failure means the server closed its read side early (e.g. it
+    rejected the header); the client then falls through to the response
+    reader to collect the server's pending messages — crashing in
+    ``sendall`` would lose the error JSON the server made deliverable.
+
+    ``read_every`` > 0 interleaves a response read after every N sent
+    blocks (the live-client pattern); 0 sends everything first (batch
+    pattern — fine while responses fit the OS socket buffer).
+    """
     out = []
     with socket.create_connection((host, port)) as conn:
-        conn.sendall(json.dumps({"nch": int(sig.shape[1])}).encode()
-                     + b"\n")
         f = conn.makefile("rb")
         conn.setblocking(True)
-        for start in range(0, sig.shape[0], block):
-            payload = np.ascontiguousarray(
-                sig[start: start + block], "<f4").tobytes()
-            conn.sendall(struct.pack(">I", len(payload)) + payload)
-        conn.sendall(struct.pack(">I", 0))
-        for line in f:
+        done = False
+
+        def _read_one() -> bool:          # True = stream finished
+            line = f.readline()
+            if not line:
+                return True
             msg = json.loads(line.decode())
-            if "eof" in msg or "error" in msg:
-                out.append(msg)
-                break
             out.append(msg)
+            return "eof" in msg or "error" in msg
+        try:
+            conn.sendall(json.dumps({"nch": int(sig.shape[1])}).encode()
+                         + b"\n")
+            sent = 0
+            for start in range(0, sig.shape[0], block):
+                payload = np.ascontiguousarray(
+                    sig[start: start + block], "<f4").tobytes()
+                conn.sendall(struct.pack(">I", len(payload)) + payload)
+                sent += 1
+                if read_every and sent % read_every == 0:
+                    if _read_one():
+                        done = True
+                        break
+            if not done:
+                conn.sendall(struct.pack(">I", 0))
+        except (BrokenPipeError, ConnectionResetError):
+            pass            # server closed early — read its verdict below
+        while not done:
+            done = _read_one()
     return out

@@ -26,6 +26,33 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def test_cli_spawn_launcher(tmp_path, monkeypatch, capfd):
+    """`cli fit --spawn 2` starts the whole world from ONE command (the
+    Lightning auto-spawn analogue): ranks get coordinator/world/rank
+    filled in, rank 0 prints here, rank 1 logs under the run dir."""
+    from fnssl_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    # children choose their own platform/devices via --platform cpu
+    monkeypatch.delenv("XLA_FLAGS", raising=False)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    main(["simulate", "--out", "data/train", "--num", "4", "--T", "0.5",
+          "--nb-points", "4", "--seed", "1"])
+    main(["simulate", "--out", "data/dev", "--num", "2", "--T", "0.5",
+          "--nb-points", "4", "--seed", "77"])
+    main(["fit", "--model", "fnssl", "--train-dir", "data/train",
+          "--valid-dir", "data/dev", "--epochs", "1", "--bz", "1",
+          "--log-dir", "runs/spawn", "--workers", "0",
+          "--platform", "cpu", "--spawn", "2",
+          "--early-stop-patience", "0"])
+    out = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+    import numpy as np
+    assert np.isfinite(out["final_valid"])
+    assert (tmp_path / "runs/spawn/rank1.spawn.log").exists()
+    assert (tmp_path / "runs/spawn/rank1/metrics.jsonl").exists()
+    assert (tmp_path / "runs/spawn/config.json").exists()
+
+
 def test_cli_two_process_fit(tmp_path):
     from fnssl_tpu.cli.main import main
 

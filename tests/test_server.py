@@ -84,6 +84,64 @@ def test_server_rejects_wrong_channel_count(fnssl_setup):
     assert "error" in msgs[-1] and "nch" in msgs[-1]["error"]
 
 
+def test_rejected_client_mid_send_gets_error_json(fnssl_setup):
+    """The duplex race the r3 review caught: a client still pumping
+    blocks when the server rejects its header must receive the error
+    JSON, not die in sendall. The signal is far larger than both TCP
+    buffers, so the client is GUARANTEED mid-send when the rejection
+    lands; repeated to make the old 1-in-200 flake a sure failure."""
+    _, _, factory, _ = fnssl_setup
+    sig = np.zeros((1_200_000, 3), np.float32)     # ~14 MB of blocks
+    server = LocalizationServer(factory).start()
+    try:
+        for _ in range(3):
+            msgs = stream_client("127.0.0.1", server.port, sig,
+                                 block=160_000)
+            assert len(msgs) == 1, msgs
+            assert "error" in msgs[0] and "nch" in msgs[0]["error"]
+    finally:
+        server.shutdown()
+
+
+def test_non_reading_batch_client(fnssl_setup):
+    """A client that pushes the whole recording before reading anything
+    (the batch pattern the docstring warns about) still gets every
+    output while responses fit the socket buffer — and an interleaved
+    live client (read_every) gets the identical stream."""
+    _, _, factory, _ = fnssl_setup
+    sig = np.random.default_rng(3).standard_normal(
+        (160_000, 2)).astype(np.float32) * 0.1     # 10 s of audio
+    server = LocalizationServer(factory).start()
+    try:
+        batch = stream_client("127.0.0.1", server.port, sig, block=8000)
+        live = stream_client("127.0.0.1", server.port, sig, block=8000,
+                             read_every=2)
+    finally:
+        server.shutdown()
+    assert batch[-1]["eof"] and batch[-1]["outputs"] == len(batch) - 1
+    assert len(batch) > 20
+    assert live == batch
+
+
+def test_server_reaps_finished_connection_threads(fnssl_setup):
+    """_threads must not grow with total connections served
+    (runtime/server.py accept-loop reaping)."""
+    import time
+
+    _, _, factory, _ = fnssl_setup
+    sig = np.random.default_rng(4).standard_normal(
+        (8000, 2)).astype(np.float32) * 0.1
+    server = LocalizationServer(factory).start()
+    try:
+        for _ in range(8):
+            stream_client("127.0.0.1", server.port, sig)
+        time.sleep(1.2)     # let handlers exit + one accept-loop tick
+        stream_client("127.0.0.1", server.port, sig)
+        assert len(server._threads) <= 2
+    finally:
+        server.shutdown()
+
+
 def test_cli_serve_wiring(tmp_path, monkeypatch, capsys):
     """cli serve builds a working per-connection session factory and
     announces its port (serve_forever stubbed — socket loop covered by
