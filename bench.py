@@ -214,6 +214,240 @@ def bench_ipdnet_train(tpu: bool):
     return dt * 1e3, nb * t_s / dt
 
 
+def bench_variable_ipdnet(tpu: bool):
+    """VariableIPDnet forward + training step: one 4-mic utterance per
+    step (VariableArrayIPDnet.py:107-118 conventions — mic pairs ride
+    the batch axis, P=6 'MM' pairs at nch=4). Returns
+    (fwd_ms, fwd_realtime_x, train_ms, train_realtime_x)."""
+    import jax
+
+    from fnssl_tpu.models.ipdnet import init_variable_ipdnet_params
+    from fnssl_tpu.train.step import (
+        init_train_state, make_optimizer, make_train_step)
+    from fnssl_tpu.train.tasks import make_variable_ipdnet_task
+
+    nch, t_s = (4, 4.5) if tpu else (3, 0.5)
+    iters = 5 if tpu else 1
+    mic = np.zeros((nch, 3), np.float32)
+    mic[:, 0] = np.linspace(-0.06, 0.06, nch)
+    task = make_variable_ipdnet_task(
+        mic_location=mic, precision="bf16" if tpu else "fp32")
+    params = init_variable_ipdnet_params(jax.random.PRNGKey(0), task.cfg)
+    rng = np.random.default_rng(0)
+    nt2 = max(int(t_s * 16000 - 3328) // 3072 + 1, 1)
+    batch = jax.device_put({
+        "mic_sig": rng.standard_normal(
+            (1, int(t_s * 16000), nch)).astype(np.float32),
+        "doa": rng.uniform(0, np.pi, (1, nt2, 2, 2)).astype(np.float32),
+        "vad": np.ones((1, nt2, 2), np.float32),
+    })
+    # forward: preprocessed feats through the pair-mean-embedding net
+    from fnssl_tpu.models.ipdnet import variable_ipdnet_apply
+    feats, _ = jax.jit(task.preprocess)(batch["mic_sig"], batch["doa"],
+                                        batch["vad"])
+    fwd = jax.jit(lambda p, x: variable_ipdnet_apply(p, x, cfg=task.cfg))
+    _sync(fwd(params, feats))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, feats)
+    _sync(out)
+    fwd_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    tx = make_optimizer("adam", 5e-4, 0.975, 1)
+    state = init_train_state(params, tx)
+    step = make_train_step(task.loss_fn, tx)
+    state, loss = step(state, batch, None)       # compile
+    state, loss = step(state, batch, None)       # steady state
+    _sync(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch, None)
+    _sync(loss)
+    train_ms = (time.perf_counter() - t0) / iters * 1e3
+    return fwd_ms, t_s / (fwd_ms / 1e3), train_ms, t_s / (train_ms / 1e3)
+
+
+def bench_fnssl_doa(tpu: bool):
+    """fnssl_doa (180-class azimuth CE head, Learner.py:454-469):
+    forward + training step at the reference scale (bz 16 × 4.79 s).
+    Returns (fwd_tf_frames_per_s, train_tf_frames_per_s)."""
+    import jax
+
+    from fnssl_tpu.models.fnssl import (
+        FNSSLConfig, fnssl_apply, init_fnssl_params)
+    from fnssl_tpu.train.step import (
+        init_train_state, make_optimizer, make_train_step)
+    from fnssl_tpu.train.tasks import make_fnssl_task, synthetic_fnssl_batch
+
+    nb = 16 if tpu else 2
+    iters = 10 if tpu else 1
+    cfg = FNSSLConfig(is_doa=True)
+    task = make_fnssl_task(cfg=cfg, precision="bf16" if tpu else "fp32")
+    params = init_fnssl_params(jax.random.PRNGKey(0), cfg)
+    nt, nf = 298, 256
+    bparams = params
+    if tpu:
+        bparams = jax.tree.map(
+            lambda x: x.astype(jax.numpy.bfloat16), params)
+    x = jax.device_put(np.random.default_rng(0).standard_normal(
+        (nb, 4, nf, nt)).astype(
+            jax.numpy.bfloat16 if tpu else np.float32))
+    fwd = jax.jit(lambda p, x: fnssl_apply(p, x, cfg=cfg))
+    _sync(fwd(bparams, x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(bparams, x)
+    _sync(out)
+    fwd_rate = nb * nt * nf / ((time.perf_counter() - t0) / iters)
+
+    tx = make_optimizer("adam", 1e-3, 0.8988, 1)
+    state = init_train_state(params, tx)
+    step = make_train_step(task.loss_fn, tx)
+    batch = jax.device_put(synthetic_fnssl_batch(nb=nb, t_s=4.79))
+    rng = jax.random.PRNGKey(1)
+    state, loss = step(state, batch, rng)        # compile
+    state, loss = step(state, batch, rng)        # steady state
+    _sync(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch, rng)
+    _sync(loss)
+    train_rate = nb * nt * nf / ((time.perf_counter() - t0) / iters)
+    return fwd_rate, train_rate
+
+
+def bench_slot_pool(tpu: bool, streams: int = 16, chunks: int = 40):
+    """The slot-batched serving path AS SHIPPED: ``streams`` concurrent
+    sessions submitting through BatchedStreamPool's dispatcher window
+    (batching + masked reset + future hand-off), not the raw chunk step
+    (VERDICT r3 missing #4). Each session pushes ``chunks`` FN-SSL
+    192 ms feature chunks back-to-back from its own thread. Returns
+    (mean submit→result latency ms, aggregate ×real-time, ticks —
+    device programs actually run, showing the window batched)."""
+    import threading
+
+    import jax
+
+    from fnssl_tpu.models.fnssl import FNSSLConfig, init_fnssl_params
+    from fnssl_tpu.runtime.export import _resolve
+    from fnssl_tpu.runtime.slots import BatchedStreamPool
+
+    if not tpu:
+        streams, chunks = 4, 6
+    cfg = FNSSLConfig()
+    params = init_fnssl_params(jax.random.PRNGKey(0), cfg)
+    if tpu:
+        params = jax.tree.map(lambda x: x.astype(jax.numpy.bfloat16),
+                              params)
+    apply_fn, init_state = _resolve("fnssl", cfg)
+    k = 12
+    chunk_s = k * 256 / 16000.0                  # 192 ms
+    pool = BatchedStreamPool(apply_fn, params, init_state,
+                             feats_shape=(1, 4, 256, k), slots=streams)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((1, 4, 256, k)).astype(np.float32)
+    warm = pool.session()                        # compile outside timing
+    warm(feats)
+    warm.close()
+
+    lat: list[float] = []
+    lock = threading.Lock()
+
+    def run_stream():
+        sess = pool.session()
+        mine = []
+        for _ in range(chunks):
+            t0 = time.perf_counter()
+            sess(feats)
+            mine.append(time.perf_counter() - t0)
+        sess.close()
+        with lock:
+            lat.extend(mine)
+
+    threads = [threading.Thread(target=run_stream)
+               for _ in range(streams)]
+    ticks0 = pool.ticks
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    ticks = pool.ticks - ticks0
+    pool.close()
+    return (float(np.mean(lat)) * 1e3,
+            streams * chunks * chunk_s / wall, ticks)
+
+
+def bench_tcp_serve(tpu: bool, conns: int = 16):
+    """The full `cli serve` wire path: TCP server + slot pool +
+    per-connection StreamingLocalizer + IDL decode, driven by the
+    reference stream_client over loopback (VERDICT r3 missing #4 —
+    'the path users would actually run'). Returns
+    (rtt_ms_per_chunk 1 conn interleaved, aggregate ×real-time at
+    ``conns`` concurrent connections, chunks per connection)."""
+    import threading
+
+    import jax
+
+    from fnssl_tpu.cli.main import _stream_session_factory
+    from fnssl_tpu.models.fnssl import init_fnssl_params
+    from fnssl_tpu.runtime.export import _resolve
+    from fnssl_tpu.runtime.server import LocalizationServer, stream_client
+    from fnssl_tpu.runtime.slots import BatchedStreamPool
+    from fnssl_tpu.train.tasks import make_fnssl_task
+
+    if not tpu:
+        conns = 2
+    task = make_fnssl_task()
+    params = init_fnssl_params(jax.random.PRNGKey(0), task.cfg)
+    if tpu:
+        params = jax.tree.map(lambda x: x.astype(jax.numpy.bfloat16),
+                              params)
+    apply_fn, init_state = _resolve("fnssl", task.cfg)
+    pool = BatchedStreamPool(apply_fn, params, init_state,
+                             feats_shape=(1, 4, 256, 12), slots=conns)
+    make_loc, decode = _stream_session_factory(
+        "fnssl", task, params, None, 2, 12, pool=pool)
+    server = LocalizationServer(lambda: (make_loc(), decode)).start()
+
+    fs, t_audio = 16000, (4.8 if tpu else 1.0)
+    sig = np.random.default_rng(0).standard_normal(
+        (int(fs * t_audio), 2)).astype(np.float32)
+    block = 3072                                 # 192 ms = 1 output blk
+    n_chunks = int(np.ceil(sig.shape[0] / block))
+    # warmup (compile happens on the first connection's first chunk)
+    stream_client("127.0.0.1", server.port, sig[:block * 4], block=block)
+
+    # 1 connection, interleaved live pattern (read after every 2 blocks
+    # — outputs lag sends by one block, so read_every=1 would deadlock)
+    t0 = time.perf_counter()
+    out = stream_client("127.0.0.1", server.port, sig, block=block,
+                        read_every=2)
+    rtt_ms = (time.perf_counter() - t0) / n_chunks * 1e3
+    assert any("eof" in m for m in out), f"bad serve reply: {out[-1:]}"
+
+    # ``conns`` concurrent connections, batch pattern (throughput)
+    results = [None] * conns
+
+    def run_conn(i):
+        results[i] = stream_client("127.0.0.1", server.port, sig,
+                                   block=block)
+    threads = [threading.Thread(target=run_conn, args=(i,))
+               for i in range(conns)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    server.shutdown()
+    pool.close()
+    for r in results:
+        assert r and any("eof" in m for m in r), f"conn failed: {r[-1:]}"
+    return rtt_ms, conns * t_audio / wall, n_chunks
+
+
 def bench_ipdnet2(tpu: bool):
     """Flagship OnlineSpatialNet forward: bz 16 × 4 s (nt=200, hop 320)."""
     import jax
@@ -379,7 +613,11 @@ def main():
                      ("ipdnet_train", bench_ipdnet_train),
                      ("ipdnet2", bench_ipdnet2),
                      ("ipdnet2_train", bench_ipdnet2_train),
+                     ("variable_ipdnet", bench_variable_ipdnet),
+                     ("fnssl_doa", bench_fnssl_doa),
                      ("streaming", bench_streaming_rtf),
+                     ("slot_pool", bench_slot_pool),
+                     ("tcp_serve", bench_tcp_serve),
                      ("fnssl_streams",
                       lambda t: bench_stream_capacity(t, "fnssl")),
                      ("ipdnet2_streams",
@@ -404,8 +642,24 @@ def main():
         elif name == "ipdnet2_train":
             extra["ipdnet2_train_step_ms"] = round(r[0], 2)
             extra["ipdnet2_train_realtime_x"] = round(r[1], 1)
+        elif name == "variable_ipdnet":
+            extra["variable_ipdnet_fwd_ms"] = round(r[0], 2)
+            extra["variable_ipdnet_realtime_x"] = round(r[1], 1)
+            extra["variable_ipdnet_train_step_ms"] = round(r[2], 2)
+            extra["variable_ipdnet_train_realtime_x"] = round(r[3], 1)
+        elif name == "fnssl_doa":
+            extra["fnssl_doa_fwd_tf_frames_per_sec"] = round(r[0], 1)
+            extra["fnssl_doa_train_tf_frames_per_sec"] = round(r[1], 1)
         elif name == "streaming":
             extra["streaming_rtf"] = round(r, 3)
+        elif name == "slot_pool":
+            extra["slot_pool16_latency_ms"] = round(r[0], 2)
+            extra["slot_pool16_aggregate_rt_x"] = round(r[1], 1)
+            extra["slot_pool16_device_ticks"] = int(r[2])
+        elif name == "tcp_serve":
+            extra["serve_tcp_rtt_ms_per_chunk_1conn"] = round(r[0], 2)
+            extra["serve_tcp_16conn_aggregate_rt_x"] = round(r[1], 1)
+            extra["serve_tcp_chunks_per_conn"] = int(r[2])
         elif name == "fnssl_streams":
             extra["fnssl_streams16_wall_ms_per_chunk"] = round(r[0], 2)
             extra["fnssl_streams16_aggregate_rt_x"] = round(r[1], 1)
