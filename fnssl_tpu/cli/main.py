@@ -250,8 +250,17 @@ def _init_runtime(args):
     before anything touches jax devices. Multi-process implies the
     mesh path (batches sharded over the global data axis; each process
     feeds its host_local_slice share)."""
+    import jax
+
+    # Persistent compilation cache: a remote-device compile costs tens
+    # of seconds to tens of minutes per program over the tunnel; every
+    # restart (--resume re-execs, rss/stall self-healing, repeated
+    # fit/test of the same shapes) reuses it instead of re-paying.
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/fnssl_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if getattr(args, "platform", "default") != "default":
-        import jax
         jax.config.update("jax_platforms", args.platform)
     world = getattr(args, "num_processes", None)
     if world and world > 1:
