@@ -83,11 +83,22 @@ def gen_split(out_dir: str, n: int, seed: int, mic_rel: np.ndarray):
     os.makedirs(ma, exist_ok=True)
     os.makedirs(dp, exist_ok=True)
     ds = make_dataset(seed)
-    rows = ["filename,angle(°),distance"]
     nt10 = int(T * 10)
     t0 = time.time()
+    # Resumable: per-recording CSV rows land in targets.csv.part as
+    # each scene completes (scene i is deterministic given the split
+    # seed), so an interrupted generation continues where it stopped.
+    part = os.path.join(out_dir, "targets.csv.part")
+    done = set()
+    if os.path.exists(part):
+        with open(part) as f:
+            done = {line.split(",", 1)[0] for line in f if line.strip()}
+    else:
+        open(part, "w").close()
     for i in range(n):
         name = f"rec{i:05d}"
+        if f"{name}.wav" in done:
+            continue
         scene = ds.get_random_scene(i)
         sig = scene.simulate()             # (nsample, 5), SNR 100 ≈ clean
         # mono direct-path at the reference mic (CH0) for the dp-VAD
@@ -116,13 +127,16 @@ def gen_split(out_dir: str, n: int, seed: int, mic_rel: np.ndarray):
         dist = np.linalg.norm(rel, axis=1)
         angs = ",".join(str(int(round(a))) for a in ang)
         diss = ",".join(f"{d:.2f}" for d in dist)
-        rows.append(f'{name}.wav,"{angs}","{diss}"')
+        with open(part, "a") as f:
+            f.write(f'{name}.wav,"{angs}","{diss}"\n')
         if (i + 1) % 100 == 0:
             print(f"{out_dir}: {i + 1}/{n} "
                   f"({(i + 1) / (time.time() - t0):.2f} rec/s)",
                   flush=True)
+    with open(part) as f:
+        rows = sorted(line for line in f if line.strip())
     with open(os.path.join(out_dir, "targets.csv"), "w") as f:
-        f.write("\n".join(rows) + "\n")
+        f.write('filename,angle(°),distance\n' + "".join(rows))
     print(f"{out_dir}: {n} recordings in {time.time() - t0:.0f}s",
           flush=True)
 
