@@ -31,8 +31,8 @@ if [ ! -f $D.test.json ]; then
     --valid-dir $RM/valid/ma_speech \
     --realman-valid-csv $RM/valid/targets.csv \
     --realman-noise $RM/noise --realman-ext wav \
-    --epochs 20 --bz 16 --precision bf16 --early-stop-patience 0 \
-    --stall-restart-s 900 --resume \
+    --epochs 14 --bz 16 --precision bf16 --early-stop-patience 0 \
+    --stall-restart-s 2400 --resume \
     --log-dir $D || exit 1
   $TEST --model ipdnet2 --best \
     --data-dir $RM/test/ma_speech \
