@@ -19,7 +19,12 @@ Drives the REAL CLI (`cli fit --spawn 2`) on the compact fnssl corpus,
 CPU platform, then diffs metrics.jsonl trajectories.
 
 Usage: python examples/dp_equivalence_cpu.py [train_dir] [valid_dir]
-           [n_scenes=128] [epochs=3]
+           [n_scenes=128] [epochs=3] [global_bz=16]
+
+global_bz trades memory for step count: the fp32 FN-SSL CPU step at
+bz 16 peaks near 20 GB (see BASELINE.md r2 fp32 note), which OOMs when
+the axon client leak of a concurrent TPU queue owns most of the host —
+bz 8 (= 2 ranks x 4) halves it without changing what is measured.
 """
 import json
 import os
@@ -34,6 +39,7 @@ TRAIN = sys.argv[1] if len(sys.argv) > 1 else "/root/data_r4/fnssl/train"
 VALID = sys.argv[2] if len(sys.argv) > 2 else "/root/data_r4/fnssl/dev"
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 128
 EPOCHS = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+GLOBAL_BZ = int(sys.argv[5]) if len(sys.argv) > 5 else 16
 
 
 def run(name, extra):
@@ -64,16 +70,16 @@ def run(name, extra):
 
 
 if __name__ == "__main__":
-    one = run("p1", ["--bz", "16"])
-    two = run("p2", ["--bz", "8", "--spawn", "2"])
+    one = run("p1", ["--bz", str(GLOBAL_BZ)])
+    two = run("p2", ["--bz", str(GLOBAL_BZ // 2), "--spawn", "2"])
     dt = [abs(a - b) for a, b in zip(one["train"], two["train"])]
     dv = [abs(a - b) for a, b in zip(one["valid"], two["valid"])]
     out = {
-        "n_scenes": N, "epochs": EPOCHS,
-        "p1_bz16": {k: one[k] for k in ("wall_s", "epoch_s", "train",
-                                        "valid")},
-        "p2_bz8x2": {k: two[k] for k in ("wall_s", "epoch_s", "train",
-                                         "valid")},
+        "n_scenes": N, "epochs": EPOCHS, "global_bz": GLOBAL_BZ,
+        "p1": {k: one[k] for k in ("wall_s", "epoch_s", "train",
+                                   "valid")},
+        "p2x2": {k: two[k] for k in ("wall_s", "epoch_s", "train",
+                                     "valid")},
         "max_abs_train_loss_delta": max(dt),
         "max_abs_valid_loss_delta": max(dv),
         "note": "single host core: the 2-proc wall time is a "
