@@ -251,7 +251,7 @@ def make_ipdnet_offline_task(cfg=None,
 def make_ipdnet2_task(cfg=None, mic_location: np.ndarray | None = None,
                       nfft: int = 512, fs: int = 16000,
                       speed: float = 340.0, remat: bool = False,
-                      precision: str = "fp32"):
+                      precision: str = "fp32", feats_sharding=None):
     """IPDnet2/OnlineSpatialNet near-field task (run_IPDnet2.py:82-339):
     STFT center=True hop 0.625, forgetting-norm L=249, per-batch array
     topology near-field DP-IPD targets (DPIPD2), Bessel non-source fill,
@@ -265,6 +265,15 @@ def make_ipdnet2_task(cfg=None, mic_location: np.ndarray | None = None,
       'distance' (nb, nt2, ns) meters,
       'vad' (nb, nt2, ns),
       'mic_pos' (nb, nmic, 3) per-batch topology.
+
+    ``feats_sharding``: optional ``jax.sharding.NamedSharding`` for the
+    post-STFT feature tensor (nb, 2·nmic, nf, nt). Constraining it to a
+    2-D (data × freq) mesh — e.g. ``P('data', None, 'freq', None)`` —
+    makes XLA's SPMD partitioner shard the whole narrow-band network
+    over frequency for forward AND backward (halo exchange for the
+    grouped freq convs, gather for the full-band module, grad psum over
+    both axes — all inserted from this one annotation). This is the
+    beyond-DDP axis the reference cannot express (SURVEY §2.9).
     """
     from fnssl_tpu.models.spatialnet import (
         SpatialNetConfig, spatialnet_apply)
@@ -315,6 +324,8 @@ def make_ipdnet2_task(cfg=None, mic_location: np.ndarray | None = None,
         feats, gt = preprocess(batch["mic_sig"], batch["azi_deg"],
                                batch["distance"], batch["vad"],
                                batch["mic_pos"])
+        if feats_sharding is not None:
+            feats = jax.lax.with_sharding_constraint(feats, feats_sharding)
         pred = apply_fn(params, feats, cfg=cfg)
         # reconcile pred/gt frame counts (run_IPDnet2.py:183-189)
         nt = min(pred.shape[1], gt["ipd"].shape[1])
