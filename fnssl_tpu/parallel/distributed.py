@@ -43,6 +43,39 @@ def sync_global_devices(name: str = "barrier"):
     multihost_utils.sync_global_devices(name)
 
 
+_BARRIER_SEQ = [0]
+
+
+def coordination_barrier(name: str = "fnssl", timeout_s: float = 900.0):
+    """Align all processes via the coordination service (gRPC), NOT the
+    Gloo collectives context. No-op on a single process.
+
+    Why this exists: XLA's CPU Gloo backend initializes its collectives
+    context through a key-value exchange with a HARDCODED 30 s timeout
+    (gloo_kv_store); on an oversubscribed host two ranks can reach their
+    FIRST collective more than 30 s apart (one still paying imports or
+    first-compile) and the whole world dies with "Gloo context
+    initialization failed: GetKeyValue() timed out". Calling this before
+    the first collective-backed component (orbax's checkpoint-directory
+    sync is typically it) bounds the inter-rank skew at that point to
+    milliseconds, with a timeout WE control. Observed live: the --spawn
+    e2e test failing exactly this way under full-test-suite load.
+    """
+    if jax.process_count() <= 1:
+        return
+    _BARRIER_SEQ[0] += 1
+    barrier_id = f"{name}_{_BARRIER_SEQ[0]}"
+    try:
+        from jax._src import distributed as _dist
+        client = _dist.global_state.client
+    except Exception:
+        client = None
+    if client is None:  # internal API moved: degrade to the gloo barrier
+        sync_global_devices(barrier_id)
+        return
+    client.wait_at_barrier(barrier_id, int(timeout_s * 1000))
+
+
 def broadcast_from_primary(pytree):
     """Replicate host-0 values to all hosts (deterministic init)."""
     from jax.experimental import multihost_utils

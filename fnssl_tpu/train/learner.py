@@ -132,6 +132,13 @@ class Learner:
         self.logger = MetricLogger(
             log_dir if rank == 0 else os.path.join(log_dir, f"rank{rank}"),
             use_tensorboard=(rank == 0))
+        if jax.process_count() > 1:
+            # Align ranks BEFORE orbax's first cross-process sync: the
+            # Gloo CPU-collectives context init has a hardcoded 30 s KV
+            # timeout, and a rank still paying first-compile can lag its
+            # peers past it on a loaded host (coordination_barrier doc).
+            from fnssl_tpu.parallel.distributed import coordination_barrier
+            coordination_barrier("learner_init")
         self.ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"),
                                       keep_top_k=keep_top_k)
         self.metric_fn = metric_fn
