@@ -30,6 +30,7 @@ Layout produced:
   <out_root>/noise/amb<i>_CH{0,1,3,5,7}.wav
 """
 import os
+import re
 import sys
 import time
 
@@ -88,11 +89,19 @@ def gen_split(out_dir: str, n: int, seed: int, mic_rel: np.ndarray):
     # Resumable: per-recording CSV rows land in targets.csv.part as
     # each scene completes (scene i is deterministic given the split
     # seed), so an interrupted generation continues where it stopped.
+    # A kill mid-append can truncate the final .part line, and an
+    # earlier run with a larger n leaves stale rows: only a fully
+    # well-formed row whose rec index is < n counts as done — anything
+    # else is regenerated and dropped from the final CSV.
+    row_re = re.compile(r'^(rec(\d{5}))\.wav,"[^"]*","[^"]*"$')
     part = os.path.join(out_dir, "targets.csv.part")
     done = set()
     if os.path.exists(part):
         with open(part) as f:
-            done = {line.split(",", 1)[0] for line in f if line.strip()}
+            for line in f:
+                m = row_re.match(line.rstrip("\n"))
+                if m and int(m.group(2)) < n:
+                    done.add(f"{m.group(1)}.wav")
     else:
         open(part, "w").close()
     for i in range(n):
@@ -134,7 +143,14 @@ def gen_split(out_dir: str, n: int, seed: int, mic_rel: np.ndarray):
                   f"({(i + 1) / (time.time() - t0):.2f} rec/s)",
                   flush=True)
     with open(part) as f:
-        rows = sorted(line for line in f if line.strip())
+        rows = sorted(
+            line for line in f
+            if (m := row_re.match(line.rstrip("\n")))
+            and int(m.group(2)) < n)
+    assert len(rows) == n, (
+        f"{out_dir}: {len(rows)} well-formed rows for n={n} — "
+        "truncated/duplicate .part rows; delete targets.csv.part "
+        "entries for the missing recs and re-run")
     with open(os.path.join(out_dir, "targets.csv"), "w") as f:
         f.write('filename,angle(°),distance\n' + "".join(rows))
     print(f"{out_dir}: {n} recordings in {time.time() - t0:.0f}s",

@@ -134,6 +134,11 @@ def build_parser():
                         "value above the worst first-step compile "
                         "(~600 s observed). Default: off")
     p.add_argument("--early-stop-min-delta", type=float, default=0.01)
+    p.add_argument("--valid-every", type=int, default=1,
+                   help="validate + checkpoint every N epochs (final / "
+                        "interrupted / rss-stop epochs always validate) — "
+                        "for many-tiny-epoch regimes, e.g. fixed-step-"
+                        "budget runs on small corpora")
     p.add_argument("--realman-csv", default=None,
                    help="RealMAN targets CSV (ipdnet2)")
     p.add_argument("--realman-valid-csv", default=None,
@@ -549,6 +554,22 @@ def cmd_fit(args):
     if args.resume:
         learner.resume()
     rss_limit = _resolve_rss_limit(args.rss_restart_gb)
+    if (args.num_processes or 1) > 1:
+        # Self-healing re-exec restarts ONE rank of a lockstep world:
+        # the re-exec'd rank re-enters Learner.__init__ and waits alone
+        # at a coordination_barrier its peers (whose process-local
+        # barrier sequence has advanced) will never revisit — a silent
+        # hang until the barrier timeout. Whole-world restart is the
+        # supported recovery for multi-process runs, so explicit
+        # single-rank restart flags are refused and the auto RSS limit
+        # is disarmed.
+        if args.stall_restart_s or args.rss_restart_gb:
+            raise SystemExit(
+                "--stall-restart-s/--rss-restart-gb re-exec a single "
+                "rank, which deadlocks a multi-process world (barrier "
+                "ids are process-local sequence numbers); restart the "
+                "whole world instead")
+        rss_limit = None
     start_epoch = learner.epoch      # nonzero after --resume
 
     def _stall_reexec():
@@ -566,7 +587,8 @@ def cmd_fit(args):
 
     fit_kw = dict(rss_limit_gb=rss_limit,
                   stall_timeout_s=args.stall_restart_s or None,
-                  stall_action=_stall_reexec)
+                  stall_action=_stall_reexec,
+                  valid_every=getattr(args, "valid_every", 1))
     if getattr(args, "profile", 0) > 0:
         from fnssl_tpu.utils.profiling import trace
 

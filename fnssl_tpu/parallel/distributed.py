@@ -60,6 +60,13 @@ def coordination_barrier(name: str = "fnssl", timeout_s: float = 900.0):
     sync is typically it) bounds the inter-rank skew at that point to
     milliseconds, with a timeout WE control. Observed live: the --spawn
     e2e test failing exactly this way under full-test-suite load.
+
+    LOCKSTEP REQUIREMENT: barrier ids come from a process-local
+    sequence counter, so every rank must call this the same number of
+    times over its process lifetime. Restarting a single rank resets
+    its counter and deadlocks it against surviving peers — the CLI
+    therefore refuses single-rank self-healing restarts
+    (--stall-restart-s/--rss-restart-gb) when num_processes > 1.
     """
     if jax.process_count() <= 1:
         return

@@ -279,7 +279,8 @@ class Learner:
             valid_batches_fn: Callable[[int], Iterable],
             epochs: int = 100, rss_limit_gb: float | None = None,
             stall_timeout_s: float | None = None,
-            stall_action: Callable | None = None) -> dict:
+            stall_action: Callable | None = None,
+            valid_every: int = 1) -> dict:
         """Full training: per-epoch train + validate + checkpoint + early
         stop. ``*_batches_fn(epoch)`` returns that epoch's batch iterable
         (deterministic per-epoch shuffling hooks in here).
@@ -304,6 +305,14 @@ class Learner:
         monitor thread (default: exit the process with code 3, since a
         wedged device call cannot be cancelled in-process). Pick a
         timeout above the worst-case first-step compile.
+
+        ``valid_every`` validates (and checkpoints) every N epochs
+        instead of every epoch — for many-tiny-epoch regimes (e.g. a
+        256-scene corpus at a 20k-step budget is 640 epochs of 32
+        steps, where per-epoch validation would dominate wall time).
+        The final epoch, an interrupt, and an RSS-limit stop always
+        validate + checkpoint, so resume/early-stop semantics hold;
+        early stopping counts only validated epochs.
         """
         import signal
 
@@ -328,22 +337,34 @@ class Learner:
         try:
             while self.epoch < epochs:
                 train_loss = self.train_epoch(train_batches_fn(self.epoch))
-                valid = self.eval_epoch(valid_batches_fn(self.epoch))
                 history["train"].append(train_loss)
-                history["valid"].append(valid["loss"])
-                # a fully-diverged (NaN) epoch must never rank "best":
-                # NaN ordering inside the top-k best_fn is undefined
-                self.ckpt.save(self.epoch, self.state,
-                               valid["loss"] if np.isfinite(valid["loss"])
-                               else float("inf"))
-                if self._watchdog is not None:
-                    self._watchdog.beat()    # the save drain also blocks
-                stop = self.early_stopping.update(valid["loss"])
-                print(f"epoch {self.epoch}: train {train_loss:.5f} "
-                      f"valid {valid['loss']:.5f}"
-                      + (" [early stop]" if stop else ""))
+                rss_hit = bool(rss_limit_gb
+                               and process_rss_gb() > rss_limit_gb)
+                do_valid = (valid_every <= 1
+                            or (self.epoch + 1) % valid_every == 0
+                            or self.epoch + 1 >= epochs
+                            or rss_hit or interrupted["flag"])
+                stop = False
+                if do_valid:
+                    valid = self.eval_epoch(valid_batches_fn(self.epoch))
+                    history["valid"].append(valid["loss"])
+                    # a fully-diverged (NaN) epoch must never rank
+                    # "best": NaN ordering in the top-k best_fn is
+                    # undefined
+                    self.ckpt.save(self.epoch, self.state,
+                                   valid["loss"]
+                                   if np.isfinite(valid["loss"])
+                                   else float("inf"))
+                    if self._watchdog is not None:
+                        self._watchdog.beat()  # the save drain blocks too
+                    stop = self.early_stopping.update(valid["loss"])
+                    print(f"epoch {self.epoch}: train {train_loss:.5f} "
+                          f"valid {valid['loss']:.5f}"
+                          + (" [early stop]" if stop else ""))
+                else:
+                    print(f"epoch {self.epoch}: train {train_loss:.5f}")
                 self.epoch += 1
-                if rss_limit_gb and process_rss_gb() > rss_limit_gb:
+                if rss_hit:
                     self.hit_rss_limit = True
                     print(f"host RSS {process_rss_gb():.1f} GB > limit "
                           f"{rss_limit_gb:.1f} GB: checkpointed, "

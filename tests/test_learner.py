@@ -115,6 +115,37 @@ def test_learner_early_stops(tmp_path):
     learner.close()
 
 
+def test_fit_valid_every_skips_and_forces_final(tmp_path):
+    """valid_every=N validates + checkpoints every N epochs, always
+    including the final one; early stopping counts only validated
+    epochs. The many-tiny-epoch regime (640 × 32-step epochs on a
+    256-scene corpus) depends on this to not be validation-bound."""
+    import jax.numpy as jnp
+
+    def loss_fn(params, batch, rng):
+        return (params["w"] * jnp.asarray(batch["v"])).sum() ** 2
+
+    saves = []
+    lrn = Learner(loss_fn, {"w": jnp.ones((2,))},
+                  log_dir=str(tmp_path / "run"),
+                  early_stopping=EarlyStopping(0))
+    real_save = lrn.ckpt.save
+    lrn.ckpt.save = lambda e, s, v: (saves.append(e), real_save(e, s, v))
+    batches = lambda e: [{"v": np.ones((2,), np.float32)}]  # noqa: E731
+    hist = lrn.fit(batches, batches, epochs=7, valid_every=3)
+    # validated at epochs 2, 5 (every 3rd) and 6 (final)
+    assert saves == [2, 5, 6]
+    assert len(hist["valid"]) == 3 and len(hist["train"]) == 7
+    lrn.close()
+
+    # resume picks up from the last validated epoch
+    lrn2 = Learner(loss_fn, {"w": jnp.ones((2,))},
+                   log_dir=str(tmp_path / "run"),
+                   early_stopping=EarlyStopping(0))
+    assert lrn2.resume() == 7
+    lrn2.close()
+
+
 def test_eval_epoch_empty_and_nan_filtering(tmp_path):
     """The stacked-fetch eval loop: empty iterables yield nan; non-finite
     batch losses are filtered out of the weighted mean."""
