@@ -94,12 +94,30 @@ class PredDOAMultiTrack:
     stacked and scored with Hungarian-matched multi-source metrics
     (defaults ae_TH=10, vad_TH=[0.001, 0.5]). ``save_dir`` reproduces the
     per-batch npy dumps (Module.py:592-597).
+
+    ``scale_norm="utterance"`` divides each utterance's LS detection
+    scores by max(95th-percentile-of-its-own-scores, the published 0.5
+    gate). Why: the LS scale is the projection of the predicted IPD
+    onto the template, and on an array geometry the model never saw,
+    the whole score distribution deflates together (template mismatch)
+    — measured in BASELINE.md r4, the 0.5 gate detects almost nothing
+    cross-geometry (FAR 0.013, ACC 0.505) while the frames are cleanly
+    separable at 0.3. Per-utterance normalization makes the gate
+    scale-invariant across arrays; flooring the normalizer at the gate
+    keeps silent/weak recordings from being boosted into false alarms.
+    Off by default (reference decode parity, IPDnet/Module.py:546-580).
     """
 
     def __init__(self, mic_location, max_track: int = 2,
                  res_the: int = 1, res_phi: int = 180, fs: int = 16000,
                  nfft: int = 512, ch_mode: str = "M",
-                 speed: float = 340.0, save_dir: str | None = None):
+                 speed: float = 340.0, save_dir: str | None = None,
+                 scale_norm: str | None = None,
+                 scale_norm_floor: float = 0.5):
+        if scale_norm not in (None, "utterance"):
+            raise ValueError(f"unknown scale_norm {scale_norm!r}")
+        self.scale_norm = scale_norm
+        self.scale_norm_floor = scale_norm_floor
         self.max_track = max_track
         self.fre_used = slice(1, nfft // 2 + 1)
         self.save_dir = save_dir
@@ -128,8 +146,13 @@ class PredDOAMultiTrack:
                              source_num_mode="unkNum")
             doas.append(res.doa[..., 0])
             vads.append(res.vad[..., 0])
+        vad = jnp.stack(vads, axis=-1)                # (nb, nt, tracks)
+        if self.scale_norm == "utterance":
+            q = jnp.quantile(vad.reshape(vad.shape[0], -1), 0.95, axis=1)
+            vad = vad / jnp.maximum(q, self.scale_norm_floor)[:, None,
+                                                              None]
         out = {"doa": jnp.stack(doas, axis=-1),
-               "vad_sources": jnp.stack(vads, axis=-1)}
+               "vad_sources": vad}
         return out, gt_batch
 
     def evaluate(self, pred, gt, ae_th: float = 10.0,

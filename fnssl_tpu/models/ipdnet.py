@@ -266,48 +266,66 @@ def init_variable_ipdnet_params(key: jax.Array,
     }
 
 
-def _fnblock_mean(params, x, skip, *, is_online, drop, rngs, training):
+def _pair_mean(x, npair: int):
+    """Mean over each utterance's OWN pair group, broadcast back. The
+    batch axis is nb-major pairs (core.pairs.pair_rebatch layout:
+    row b·P+p), so utterances must not mix in the mean."""
+    nbp = x.shape[0]
+    nb = nbp // npair
+    g = x.reshape((nb, npair) + x.shape[1:])
+    mean = jnp.mean(g, axis=1, keepdims=True)
+    return jnp.broadcast_to(mean, g.shape).reshape(x.shape)
+
+
+def _fnblock_mean(params, x, skip, *, npair, is_online, drop, rngs,
+                  training):
     """Pair-mean FN block (VariableArrayIPDnet.py:33-55). The batch axis
-    of ``x`` is nb·npair; means are over the pair axis."""
+    of ``x`` is nb·npair; means are over each utterance's pair group."""
     nbp, nt, nf, nc = x.shape
     x = x.reshape(nbp * nt, nf, nc)
     x, _ = lstm(params["fullLstm"], x, bidirectional=True)
     x = dropout(x, drop, rngs[0], training)
     x = x.reshape(nbp, nt, nf, -1)
-    mean = jnp.mean(x, axis=0, keepdims=True)
-    mean = jnp.broadcast_to(mean, x.shape)
-    x = jnp.concatenate([x, mean, skip], axis=-1)
+    x = jnp.concatenate([x, _pair_mean(x, npair), skip], axis=-1)
     x = jnp.transpose(x, (0, 2, 1, 3)).reshape(nbp * nf, nt, -1)
     x = prelu(params["relu1"], linear(params["linear1"], x))
     x, _ = lstm(params["narrLstm"], x, bidirectional=not is_online)
     x = dropout(x, drop, rngs[1], training)
     x = x.reshape(nbp, nf, nt, -1)
     x = jnp.transpose(x, (0, 2, 1, 3))
-    mean = jnp.broadcast_to(jnp.mean(x, axis=0, keepdims=True), x.shape)
-    x = jnp.concatenate([x, mean, skip], axis=-1)
+    x = jnp.concatenate([x, _pair_mean(x, npair), skip], axis=-1)
     return prelu(params["relu2"], linear(params["linear2"], x))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "training"))
+@functools.partial(jax.jit, static_argnames=("cfg", "training", "npair"))
 def variable_ipdnet_apply(params, x: jax.Array, *,
                           cfg: VariableIPDnetConfig = VariableIPDnetConfig(),
                           rng: jax.Array | None = None,
-                          training: bool = False):
-    """x: (npair, nc=4, nf, nt) — mic pairs on the batch axis (one
-    utterance per forward, VariableArrayIPDnet.py:107-118).
-    Returns (1, nt/12, 2nf, npair, 2 tracks)."""
+                          training: bool = False,
+                          npair: int | None = None):
+    """x: (nb·npair, nc=4, nf, nt) — mic pairs on the batch axis in
+    nb-major pair_rebatch order. ``npair`` is the pairs-per-utterance
+    count; None means ONE utterance (the reference's bz=1 convention,
+    VariableArrayIPDnet.py:107-118). Same-topology utterances batch by
+    stacking their pair groups — the pair means stay per-utterance.
+    Returns (nb, nt/12, 2nf, npair, 2 tracks)."""
+    if npair is None:
+        npair = x.shape[0]
     x = jnp.transpose(x, (0, 3, 2, 1))
     nbp, nt, nf, nc = x.shape
+    nb = nbp // npair
     skip = x
     rngs = ([None] * 4 if rng is None else list(jax.random.split(rng, 4)))
-    x = _fnblock_mean(params["block_1"], x, skip, is_online=cfg.is_online,
+    x = _fnblock_mean(params["block_1"], x, skip, npair=npair,
+                      is_online=cfg.is_online,
                       drop=cfg.dropout, rngs=rngs[:2], training=training)
-    x = _fnblock_mean(params["block_2"], x, skip, is_online=cfg.is_online,
+    x = _fnblock_mean(params["block_2"], x, skip, npair=npair,
+                      is_online=cfg.is_online,
                       drop=cfg.dropout, rngs=rngs[2:], training=training)
     x = jnp.transpose(x, (0, 3, 2, 1))
     nt2 = nt // POOL
     x, _ = _caus_cnn(params["conv"], x, None)
     x = jnp.transpose(x, (0, 3, 2, 1)).reshape(nbp, nt2, nf, 2, -1)
     x = jnp.transpose(x, (0, 1, 3, 2, 4))
-    x = x.reshape(1, nbp, nt2, -1, nf * 2)
+    x = x.reshape(nb, npair, nt2, -1, nf * 2)
     return jnp.transpose(x, (0, 2, 4, 1, 3))

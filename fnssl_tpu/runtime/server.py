@@ -153,6 +153,10 @@ class LocalizationServer:
             usec = int((self.send_timeout_s - sec) * 1e6)
             conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDTIMEO,
                             struct.pack("ll", sec, usec))
+            # small JSON replies must not sit in Nagle's buffer waiting
+            # for the peer's delayed ACK — this is an RPC-shaped
+            # protocol, latency beats packet coalescing
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             f = conn.makefile("rb")
             header = json.loads(f.readline().decode())
             nch = int(header["nch"])
@@ -178,6 +182,10 @@ class LocalizationServer:
                 if payload is None:
                     break
                 pcm = np.frombuffer(payload, "<f4").reshape(-1, nch)
+                # batch this block's responses into ONE sendall: a
+                # write per output line is a syscall + packet each
+                # (measured on the r4 single-conn RTT)
+                lines: list[bytes] = []
                 for out in localizer.push(pcm):
                     res = decode(out)
                     doa = np.degrees(np.asarray(res["doa"]))[0]
@@ -186,8 +194,10 @@ class LocalizationServer:
                         msg = {"t": emitted,
                                "doa_deg": np.round(doa[k], 3).tolist(),
                                "vad": np.round(vad[k], 4).tolist()}
-                        conn.sendall(json.dumps(msg).encode() + b"\n")
+                        lines.append(json.dumps(msg).encode() + b"\n")
                         emitted += 1
+                if lines:
+                    conn.sendall(b"".join(lines))
         except (ConnectionError, json.JSONDecodeError, KeyError,
                 ValueError, RuntimeError) as e:
             if f is not None:
@@ -220,6 +230,7 @@ def stream_client(host: str, port: int, sig: np.ndarray,
     """
     out = []
     with socket.create_connection((host, port)) as conn:
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         f = conn.makefile("rb")
         conn.setblocking(True)
         done = False

@@ -5,8 +5,11 @@ One connection = one chunk step (batch 1) wastes the chip: the measured
 (BASELINE.md: 253× aggregate real-time at 16 concurrent IPDnet2
 streams). This module turns that measurement into a serving primitive:
 
-  * a FIXED number of slots S → every device program has ONE static
-    shape (XLA never recompiles as connections come and go);
+  * a FIXED number of slots S with a handful of static program TIERS
+    (1, 4, …, S — powers of 4): each tick runs the smallest compiled
+    tier covering the active slots, so one connection pays a 1-slot
+    program, not an S-slot one, and XLA still never recompiles as
+    connections come and go (≤ log₄S programs, compiled lazily);
   * per-slot streaming state lives stacked in the batch axis; slot
     acquire/release is a masked state reset INSIDE the jitted step
     (no host-side state surgery, no per-connection retrace);
@@ -71,13 +74,56 @@ def _per_slot_where(mask, a, b, axis, slots):
     return jnp.moveaxis(out, 0, axis)
 
 
-class SlotBatchedStepper:
-    """S-slot batched stateful chunk step with masked reset/carry.
+def _gather_slots(leaf, ids, ax: int, slots: int):
+    """Take ``ids``' slot blocks out of a full-pool leaf along its slot
+    axis: (…, S·k, …) → (…, s·k, …)."""
+    import jax.numpy as jnp
 
-    step(feats, reset_mask, active_mask) runs ONE jitted program:
-      state   = where(reset,  fresh,        state)     # new streams
-      out, st = apply(params, feats, state)
-      state   = where(active, st,           state)     # carry idle slots
+    if ax < 0:
+        return leaf
+    k = leaf.shape[ax] // slots
+    v = jnp.moveaxis(leaf, ax, 0)
+    v = v.reshape((slots, k) + v.shape[1:])
+    sub = v[ids].reshape((ids.shape[0] * k,) + v.shape[2:])
+    return jnp.moveaxis(sub, 0, ax)
+
+
+def _scatter_slots(full, sub, ids, ax: int, slots: int):
+    """Write ``sub``'s slot blocks back into the full-pool leaf at
+    ``ids`` (inverse of :func:`_gather_slots`); ids must be distinct."""
+    import jax.numpy as jnp
+
+    if ax < 0:
+        return full
+    k = full.shape[ax] // slots
+    fv = jnp.moveaxis(full, ax, 0)
+    rest = fv.shape[1:]
+    fv = fv.reshape((slots, k) + rest)
+    sv = jnp.moveaxis(sub, ax, 0).reshape((ids.shape[0], k) + rest)
+    fv = fv.at[ids].set(sv)
+    return jnp.moveaxis(fv.reshape((slots * k,) + rest), 0, ax)
+
+
+class SlotBatchedStepper:
+    """S-slot batched stateful chunk step with masked reset/carry and
+    TIERED program sizes.
+
+    A fixed-S program pays for all S slots on every tick — at one active
+    connection that's a 16× oversized device step (measured: the r4
+    single-conn TCP RTT). Instead the pool state stays stacked at full S
+    while each tick runs the SMALLEST compiled tier s ≥ #active-slots:
+
+      sub     = gather(state, ids)                    # (s·k) slot blocks
+      sub     = where(reset,  fresh_s, sub)           # new streams
+      out, st = apply(params, feats_s, sub)
+      sub     = where(active, st,      sub)           # carry padded rows
+      state   = scatter(state, sub, ids)
+
+    Everything (gather/where/apply/scatter) is ONE jitted program per
+    tier; tier sizes are powers of 4 clamped to S (1, 4, 16, …, S), so
+    at most ~log₄S compilations ever happen, lazily on first use.
+    Padded rows carry distinct idle slot ids (scatter needs unique
+    indices) with active=False, so their state scatters back unchanged.
     """
 
     def __init__(self, apply_fn: Callable, params, init_state_fn,
@@ -88,36 +134,77 @@ class SlotBatchedStepper:
         self.slots = slots
         self._axes = _slot_axes(init_state_fn)
         self._state = init_state_fn(slots)
-        fresh1 = init_state_fn(1)
-        # fresh state for ALL slots (broadcast of the 1-slot state)
-        self._fresh = jax.tree.map(
-            lambda f, ax: (f if ax < 0 else
-                           jnp.concatenate([f] * slots, axis=ax)),
-            fresh1, self._axes)
-
-        def _step(params, state, feats, reset, active):
-            state = jax.tree.map(
-                lambda fr, st, ax: _per_slot_where(reset, fr, st, ax,
-                                                   slots),
-                self._fresh, state, self._axes)
-            out, stepped = apply_fn(params, feats, state=state,
-                                    return_state=True)
-            state = jax.tree.map(
-                lambda new, old, ax: _per_slot_where(active, new, old,
-                                                     ax, slots),
-                stepped, state, self._axes)
-            return out, state
-
-        self._jit_step = jax.jit(_step)
+        self._fresh1 = init_state_fn(1)
+        self._apply_fn = apply_fn
         self._params = params
+        self._jnp = jnp
+        self.tier_sizes = []
+        s = 1
+        while s < slots:
+            self.tier_sizes.append(s)
+            s *= 4
+        self.tier_sizes.append(slots)
+        self._tiers: dict[int, Callable] = {}
 
-    def step(self, feats, reset_mask: np.ndarray,
-             active_mask: np.ndarray):
-        """feats: (slots·rows, C, nf, k) with zeros in idle rows."""
-        out, self._state = self._jit_step(
+    def _make_tier(self, s: int) -> Callable:
+        import jax
+
+        jnp = self._jnp
+        S = self.slots
+        axes = self._axes
+        apply_fn = self._apply_fn
+        fresh_sub = jax.tree.map(
+            lambda f, ax: (f if ax < 0 else
+                           jnp.concatenate([f] * s, axis=ax)),
+            self._fresh1, axes)
+
+        def _step(params, full, feats, ids, reset, active):
+            sub = jax.tree.map(
+                lambda leaf, ax: _gather_slots(leaf, ids, ax, S),
+                full, axes)
+            sub = jax.tree.map(
+                lambda fr, st, ax: _per_slot_where(reset, fr, st, ax, s),
+                fresh_sub, sub, axes)
+            out, stepped = apply_fn(params, feats, state=sub,
+                                    return_state=True)
+            sub = jax.tree.map(
+                lambda new, old, ax: _per_slot_where(active, new, old,
+                                                     ax, s),
+                stepped, sub, axes)
+            full = jax.tree.map(
+                lambda fl, sb, ax: _scatter_slots(fl, sb, ids, ax, S),
+                full, sub, axes)
+            return out, full
+
+        return jax.jit(_step)
+
+    def step_slots(self, ids: np.ndarray, feats, reset_mask: np.ndarray):
+        """Run one tick for the ``len(ids)`` active slots.
+
+        feats: (len(ids)·rows, C, nf, k) in ids order. Returns the
+        outputs for exactly those rows (padding stripped)."""
+        k = len(ids)
+        s = next(t for t in self.tier_sizes if t >= k)
+        rows = feats.shape[0] // max(k, 1)
+        if s not in self._tiers:
+            self._tiers[s] = self._make_tier(s)
+        if s > k:
+            taken = set(int(i) for i in ids)
+            pad = [i for i in range(self.slots)
+                   if i not in taken][:s - k]
+            ids = np.concatenate([np.asarray(ids, np.int32),
+                                  np.asarray(pad, np.int32)])
+            feats = np.concatenate(
+                [feats, np.zeros(((s - k) * rows,) + feats.shape[1:],
+                                 feats.dtype)])
+            reset_mask = np.concatenate(
+                [np.asarray(reset_mask, bool), np.zeros(s - k, bool)])
+        active = np.arange(s) < k
+        out, self._state = self._tiers[s](
             self._params, self._state, feats,
-            np.asarray(reset_mask, bool), np.asarray(active_mask, bool))
-        return out
+            np.asarray(ids, np.int32), np.asarray(reset_mask, bool),
+            active)
+        return out[:k * rows]
 
 
 class BatchedStreamPool:
@@ -204,22 +291,19 @@ class BatchedStreamPool:
                 for slot in batch:
                     self._needs_reset[slot] = False
                 self._event.clear()
-            rows, S = self.rows, self.slots
-            feats = np.zeros((S * rows,) + self._feats_shape[1:],
-                             np.float32)
-            active = np.zeros(S, bool)
-            for slot, (fa, _) in batch.items():
-                feats[slot * rows:(slot + 1) * rows] = fa
-                active[slot] = True
+            rows = self.rows
+            ids = np.fromiter(batch.keys(), np.int32, len(batch))
+            feats = np.concatenate(
+                [fa for fa, _ in batch.values()]).astype(
+                    np.float32, copy=False)
             # reset exactly the slots stepping for the first time this
             # lease; untouched leased slots keep reset pending
-            reset = reset & active
             try:
-                out = self.stepper.step(feats, reset, active)
-                out = np.asarray(out)
+                out = np.asarray(
+                    self.stepper.step_slots(ids, feats, reset[ids]))
                 self.ticks += 1
-                for slot, (_, fut) in batch.items():
-                    fut.set_result(out[slot * rows:(slot + 1) * rows])
+                for i, (_, fut) in enumerate(batch.values()):
+                    fut.set_result(out[i * rows:(i + 1) * rows])
             except Exception as e:               # propagate to callers
                 for _, fut in batch.values():
                     fut.set_exception(e)

@@ -156,13 +156,14 @@ def make_variable_ipdnet_task(cfg=None,
                               vad_threshold: float = 0.001,
                               remat: bool = False,
                               precision: str = "fp32") -> IPDnetTask:
-    """Variable-array IPDnet task: mic pairs ride the batch axis, one
-    utterance per step (VariableArrayIPDnet.py:107-118 conventions), PIT
-    loss over the 2 tracks against all-pair ('MM') DP-IPD targets.
+    """Variable-array IPDnet task: mic pairs ride the batch axis in
+    nb-major pair groups (VariableArrayIPDnet.py:107-118 conventions),
+    PIT loss over the 2 tracks against all-pair ('MM') DP-IPD targets.
 
-    Batch contract: dict with 'mic_sig' (1, nsample, nch),
-    'doa' (1, nt2, 2, ns), 'vad' (1, nt2, ns). The pair count adapts to
-    nch (a new jit trace per array topology).
+    Batch contract: dict with 'mic_sig' (nb, nsample, nch),
+    'doa' (nb, nt2, 2, ns), 'vad' (nb, nt2, ns) — nb SAME-topology
+    utterances batch together (their pair means stay per-utterance);
+    one jit trace per array topology, any nb within it.
     """
     from fnssl_tpu.models.ipdnet import (
         VariableIPDnetConfig, variable_ipdnet_apply)
@@ -185,11 +186,13 @@ def make_variable_ipdnet_task(cfg=None,
         vad_threshold=vad_threshold)
 
     apply_fn = _wrap_apply(variable_ipdnet_apply, remat, precision)
+    n = mic_location.shape[0]
+    npair = n * (n - 1) // 2
 
     def loss_fn(params, batch, rng):
         feats, gt = preprocess(batch["mic_sig"], batch["doa"], batch["vad"])
         pred = apply_fn(params, feats, cfg=cfg, rng=rng,
-                        training=rng is not None)
+                        training=rng is not None, npair=npair)
         nt = min(pred.shape[1], gt["ipd"].shape[1])
         return pit_mse_loss(pred[:, :nt], gt["ipd"][:, :nt])
 

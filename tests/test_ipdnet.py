@@ -88,6 +88,25 @@ def test_variable_ipdnet_shapes_and_finite(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_variable_ipdnet_batched_equals_per_utterance(rng):
+    """Same-topology batching (VERDICT r4 #4): nb utterances stacked in
+    nb-major pair groups through ONE forward must equal each utterance
+    run alone — the pair means must not leak across utterances."""
+    cfg = VariableIPDnetConfig()
+    params = init_variable_ipdnet_params(jax.random.PRNGKey(3), cfg)
+    nb, npair = 3, 3
+    xs = [rng.standard_normal((npair, 4, 16, 24)).astype(np.float32)
+          for _ in range(nb)]
+    batched = variable_ipdnet_apply(params, jnp.asarray(np.concatenate(xs)),
+                                    cfg=cfg, npair=npair)
+    assert batched.shape == (nb, 2, 32, npair, 2)
+    for b, x in enumerate(xs):
+        solo = variable_ipdnet_apply(params, jnp.asarray(x), cfg=cfg)
+        np.testing.assert_allclose(np.asarray(batched[b:b + 1]),
+                                   np.asarray(solo), rtol=1e-4,
+                                   atol=1e-5, err_msg=f"utterance {b}")
+
+
 def test_ipdnet_task_loss_decreases():
     import jax as _jax
 

@@ -109,6 +109,85 @@ def test_pool_idle_slots_keep_state(pool_setup):
         np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
 
 
+def _toy_model():
+    """Tiny stateful chunk model: state (nb, 2) running sum; the output
+    depends on BOTH feats and carried state, so any gather/scatter/
+    reset mix-up between slots shows up exactly."""
+    import jax.numpy as jnp
+
+    def apply_fn(p, x, state=None, return_state=False):
+        upd = x.reshape(x.shape[0], -1)[:, :2]
+        new = state + upd
+        out = new * p["w"]
+        return (out, new) if return_state else out
+
+    init_state = lambda nb: jnp.zeros((nb, 2))  # noqa: E731
+    return apply_fn, {"w": 3.0}, init_state
+
+
+def test_tiered_programs_single_stream_runs_smallest_tier():
+    """One active connection on a 16-slot pool must run the 1-slot
+    program (the r4 single-conn TCP RTT was the full-S step at
+    occupancy 1), and results must still be exact across slot counts."""
+    apply_fn, params, init_state = _toy_model()
+    pool = BatchedStreamPool(apply_fn, params, init_state,
+                             feats_shape=(1, 4), slots=16)
+    assert pool.stepper.tier_sizes == [1, 4, 16]
+    rng = np.random.default_rng(3)
+    chunks = [rng.standard_normal((1, 4)).astype(np.float32)
+              for _ in range(4)]
+    s = pool.session()
+    got = [np.asarray(s(c)) for c in chunks]
+    s.close()
+    assert set(pool.stepper._tiers) == {1}, "padded past tier 1"
+    run = np.zeros((1, 2), np.float32)
+    for g, c in zip(got, chunks):
+        run = run + c.reshape(1, -1)[:, :2]
+        np.testing.assert_allclose(g, run * 3.0, rtol=1e-6)
+    pool.close()
+
+
+def test_tiered_programs_mixed_occupancy_exact():
+    """Streams joining/leaving cross tier boundaries (1 → 4 → 1 on a
+    16-slot pool); every stream's running state must stay exact through
+    the gather/scatter round trips and padded-row carries."""
+    apply_fn, params, init_state = _toy_model()
+    pool = BatchedStreamPool(apply_fn, params, init_state,
+                             feats_shape=(1, 4), slots=16,
+                             batch_window_s=0.01)
+    rng = np.random.default_rng(4)
+    n_streams, n_chunks = 6, 5
+    chunks = [[rng.standard_normal((1, 4)).astype(np.float32)
+               for _ in range(n_chunks)] for _ in range(n_streams)]
+    results = [[] for _ in range(n_streams)]
+
+    def run(i):
+        s = pool.session()
+        try:
+            for c in chunks[i]:
+                results[i].append(np.asarray(s(c)))
+        finally:
+            s.close()
+
+    # stream 0 runs alone first (tier 1), then 5 more join (tier ≥ 4)
+    t0 = threading.Thread(target=run, args=(0,))
+    t0.start(); t0.join()
+    rest = [threading.Thread(target=run, args=(i,))
+            for i in range(1, n_streams)]
+    for t in rest:
+        t.start()
+    for t in rest:
+        t.join()
+    for i in range(n_streams):
+        run_sum = np.zeros((1, 2), np.float32)
+        for g, c in zip(results[i], chunks[i]):
+            run_sum = run_sum + c.reshape(1, -1)[:, :2]
+            np.testing.assert_allclose(g, run_sum * 3.0, rtol=1e-6,
+                                       err_msg=f"stream {i}")
+    assert 1 in pool.stepper._tiers and len(pool.stepper._tiers) >= 2
+    pool.close()
+
+
 def test_pool_exhaustion_raises(pool_setup):
     *_, pool = pool_setup
     leases = [pool.session() for _ in range(3)]
