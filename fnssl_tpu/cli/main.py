@@ -116,6 +116,13 @@ def build_parser():
                         "other ranks log to <log-dir>/rankK.spawn.log")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lr-gamma", type=float, default=None,
+                   help="per-epoch exponential lr decay override (torch "
+                        "ExponentialLR gamma). Needed when the epoch "
+                        "GRID differs from the reference recipe at equal "
+                        "step budget: decay-per-STEP is what transfers, "
+                        "so a 640×32-step run matching a 10×2048-step "
+                        "recipe wants gamma^(32/2048)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--early-stop-patience", type=int, default=10,
                    help="epochs without valid/loss improvement before "
@@ -148,6 +155,12 @@ def build_parser():
     p.add_argument("--realman-noise", default=None,
                    help="RealMAN noise dir (ipdnet2)")
     p.add_argument("--realman-ext", default="flac")
+    p.add_argument("--realman-cache", default=None, metavar="DIR",
+                   help="decoded-sample cache dir: first epoch decodes "
+                        "each audio file once into .npy, later epochs "
+                        "mmap (same per-item-seed mixing bit-for-bit; "
+                        "cuts the 8x loader-bound floor measured in "
+                        "BASELINE.md r4)")
     p.add_argument("--mic-ids", default="0,1,3,5,7",
                    help="RealMAN mic subset (ipdnet2)")
 
@@ -164,6 +177,12 @@ def build_parser():
     p.add_argument("--realman-noise", default=None,
                    help="RealMAN noise dir (ipdnet2)")
     p.add_argument("--realman-ext", default="flac")
+    p.add_argument("--realman-cache", default=None, metavar="DIR",
+                   help="decoded-sample cache dir: first epoch decodes "
+                        "each audio file once into .npy, later epochs "
+                        "mmap (same per-item-seed mixing bit-for-bit; "
+                        "cuts the 8x loader-bound floor measured in "
+                        "BASELINE.md r4)")
     p.add_argument("--mic-ids", default="0,1,3,5,7",
                    help="RealMAN mic subset (ipdnet2)")
 
@@ -358,7 +377,8 @@ def _realman_batches(args, bz: int, epoch: int, seed: int,
     mic_ids = [int(i) for i in args.mic_ids.split(",")]
     ds = RealData(data_dir or args.train_dir, [csv or args.realman_csv],
                   args.realman_noise,
-                  use_mic_id=mic_ids, max_source=2, ext=args.realman_ext)
+                  use_mic_id=mic_ids, max_source=2, ext=args.realman_ext,
+                  cache_dir=getattr(args, "realman_cache", None))
     sched = host_local_slice(len(ds), epoch, seed=seed, shuffle=shuffle)
     return DataLoader(lambda item: ds[item], sched, bz, collate_realman,
                       num_workers=getattr(args, "workers", 2),
@@ -517,6 +537,8 @@ def cmd_fit(args):
                 "variable_ipdnet": (5e-4, 0.975),
                 "ipdnet2": (5e-4, 0.975)}
     lr, gamma = defaults[args.model]
+    if getattr(args, "lr_gamma", None):
+        gamma = args.lr_gamma
     if args.model == "ipdnet2":
         if not args.realman_csv or not args.realman_noise:
             raise SystemExit("ipdnet2 trains on RealMAN: pass "

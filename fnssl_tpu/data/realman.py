@@ -13,8 +13,19 @@ File layout (configurable extension; RealMAN ships flac):
   <data_dir>/<filename from CSV> with channels <stem>_CH<i>.<ext>, a
   direct-path copy under a sibling 'dp_speech' tree, and noise recordings
   with the same channel convention.
+
+Decoded-sample cache (``cache_dir``): the r4 measurement put this
+loader at 10.2 items/s prefetched against an ~80 items/s device step —
+8× loader-bound, dominated by re-decoding the same audio files every
+epoch. With ``cache_dir`` set, the FIRST access to each file decodes it
+once into an ``.npy`` (atomic tmp+rename, multi-worker safe) and every
+later access memory-maps it. The cached array is the raw decode at the
+source rate (float64, exactly what ``read_audio`` returns), so all
+downstream math — crop, energy VAD, overlap masks, SNR mixing under
+the same per-item seed — is bit-for-bit identical to uncached mode.
 """
 from __future__ import annotations
+
 
 import os
 
@@ -41,9 +52,14 @@ class RealData:
                  wav_use_len: float = 4.0, on_the_fly: bool = True,
                  is_variable_array: bool = False, max_source: int = 1,
                  ext: str = "flac", dp_dirname: str = "dp_speech",
-                 ma_dirname: str = "ma_speech"):
+                 ma_dirname: str = "ma_speech",
+                 cache_dir: str | None = None):
         import pandas as pd
 
+        self.cache_dir = cache_dir
+        self._fs_index: dict[str, int] = {}
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
         self.ext = ext
         self.dp_dirname, self.ma_dirname = dp_dirname, ma_dirname
         self.data_paths: list[str] = []
@@ -95,17 +111,71 @@ class RealData:
 
     # --- IO helpers ---
 
+    def _read_cached(self, path: str) -> tuple[np.ndarray, int]:
+        """read_audio through the decoded-sample cache: first access
+        decodes into <cache_dir>/<flattened-path>.npy with the sample
+        rate in a ``.fs`` sidecar; later accesses mmap. Both files land
+        by atomic rename with the .npy LAST, so a reader that sees the
+        .npy always finds the sidecar (concurrent workers at worst
+        decode twice, never read a partial file). Lookups are two
+        stats — no directory listing (a glob here cost O(cache-size)
+        per read, measured dominating the warm path)."""
+        if self.cache_dir is None:
+            return read_audio(path)
+        base = os.path.join(
+            self.cache_dir,
+            os.path.normpath(path).replace(os.sep, "__").lstrip("_"))
+        npy, fsf = base + ".npy", base + ".fs"
+        if os.path.exists(npy):
+            fs = self._fs_index.get(npy)
+            if fs is None:
+                with open(fsf) as f:
+                    fs = int(f.read())
+                self._fs_index[npy] = fs
+            return np.load(npy, mmap_mode="r"), fs
+        data, fs = read_audio(path)
+        tmpf = f"{fsf}.{os.getpid()}.tmp"
+        with open(tmpf, "w") as f:
+            f.write(str(int(fs)))
+        os.replace(tmpf, fsf)
+        tmp = f"{npy}.{os.getpid()}.tmp.npy"
+        np.save(tmp, data)
+        os.replace(tmp, npy)
+        self._fs_index[npy] = int(fs)
+        return data, fs
+
+    def _ch_path(self, sig_path: str, mic: int) -> str:
+        return sig_path.replace(f".{self.ext}", f"_CH{mic}.{self.ext}")
+
     def _load_channels(self, sig_path: str, mic_ids) -> np.ndarray:
         chans = []
         for i in mic_ids:
-            path = sig_path.replace(f".{self.ext}", f"_CH{i}.{self.ext}")
-            s, fs = read_audio(path)
+            s, fs = self._read_cached(self._ch_path(sig_path, i))
             chans.append(s)
         sig = np.stack(chans, axis=-1)
         if fs != self.target_fs:
             sig = scipy.signal.resample(
                 sig, int(sig.shape[0] * self.target_fs / fs))
         return sig
+
+    def _crop_probe(self, sig_path: str, mic_ids):
+        """Cached-mode fast path probe: mmap the first channel; when no
+        resample is needed, callers can slice the crop window out of
+        each channel mmap BEFORE stacking (copying 4 s instead of the
+        whole recording — the stack copy dominated the warm profile).
+        Returns (length, usable) — usable=False falls back to the full
+        _load_channels path (identical rng draws either way)."""
+        if self.cache_dir is None:
+            return 0, False
+        s0, fs0 = self._read_cached(self._ch_path(sig_path, mic_ids[0]))
+        return s0.shape[0], fs0 == self.target_fs
+
+    def _load_channels_window(self, sig_path: str, mic_ids, start: int,
+                              n: int) -> np.ndarray:
+        return np.stack(
+            [np.asarray(self._read_cached(
+                self._ch_path(sig_path, i))[0][start: start + n])
+             for i in mic_ids], axis=-1)
 
     @staticmethod
     def get_snr_coeff(wav1, wav2, target_db):
@@ -173,20 +243,28 @@ class RealData:
             # direct-path sibling tree (works for relative paths too)
             dp_path = sig_path.replace(self.ma_dirname + os.sep,
                                        self.dp_dirname + os.sep, 1)
-            dp_sig, _ = read_audio(dp_path)
-            sig = self._load_channels(sig_path, mic_ids)
-            if sig.shape[0] < 5 * self.target_fs:   # pad short files
-                start = 0
-                padded = np.zeros((nsample, sig.shape[1]))
-                n = min(nsample, sig.shape[0])
-                padded[:n] = sig[:n]
-                sig = padded
-                dp = np.zeros(nsample)
-                dp[: min(nsample, len(dp_sig))] = dp_sig[:nsample]
-            else:
-                start = int(rng.integers(0, sig.shape[0] - nsample))
+            dp_sig, _ = self._read_cached(dp_path)
+            length, fast = self._crop_probe(sig_path, mic_ids)
+            if fast and length >= 5 * self.target_fs:
+                # same single rng draw as the slow branch below
+                start = int(rng.integers(0, length - nsample))
                 dp = dp_sig[start: start + nsample]
-                sig = sig[start: start + nsample]
+                sig = self._load_channels_window(sig_path, mic_ids,
+                                                 start, nsample)
+            else:
+                sig = self._load_channels(sig_path, mic_ids)
+                if sig.shape[0] < 5 * self.target_fs:  # pad short files
+                    start = 0
+                    padded = np.zeros((nsample, sig.shape[1]))
+                    n = min(nsample, sig.shape[0])
+                    padded[:n] = sig[:n]
+                    sig = padded
+                    dp = np.zeros(nsample)
+                    dp[: min(nsample, len(dp_sig))] = dp_sig[:nsample]
+                else:
+                    start = int(rng.integers(0, sig.shape[0] - nsample))
+                    dp = dp_sig[start: start + nsample]
+                    sig = sig[start: start + nsample]
             vad = np.zeros((self.target_len, 1), np.float32)
             ev = energy_vad(dp, self.target_fs)
             vad[: min(len(ev), self.target_len), 0] = \
@@ -212,12 +290,18 @@ class RealData:
         snr = float(rng.uniform(*self.SNR))
         npath = self.noise_paths[int(rng.integers(0,
                                                   len(self.noise_paths)))]
-        noise = self._load_channels(
-            npath.replace(f"_CH0.{self.ext}", f".{self.ext}"), mic_ids)
-        if noise.shape[0] < nsample:
-            noise = np.tile(noise, (nsample // noise.shape[0] + 1, 1))
-        nstart = int(rng.integers(0, noise.shape[0] - nsample + 1))
-        noise = noise[nstart: nstart + nsample]
+        nbase = npath.replace(f"_CH0.{self.ext}", f".{self.ext}")
+        nlen, nfast = self._crop_probe(nbase, mic_ids)
+        if nfast and nlen >= nsample:
+            nstart = int(rng.integers(0, nlen - nsample + 1))
+            noise = self._load_channels_window(nbase, mic_ids, nstart,
+                                               nsample)
+        else:
+            noise = self._load_channels(nbase, mic_ids)
+            if noise.shape[0] < nsample:
+                noise = np.tile(noise, (nsample // noise.shape[0] + 1, 1))
+            nstart = int(rng.integers(0, noise.shape[0] - nsample + 1))
+            noise = noise[nstart: nstart + nsample]
         mic_signal = mic_signal + self.get_snr_coeff(
             mic_signal, noise, snr) * noise
 

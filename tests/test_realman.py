@@ -95,3 +95,38 @@ def test_realman_variable_array(realman_dir):
     assert ids1 == ids2 and 2 <= len(ids1) <= 8
     ids3, _ = ds.select_mic_array_no_circle(np.random.default_rng(4))
     assert set(ids3) not in ({0, 2, 4, 6, 24}, {1, 3, 5, 7, 24})
+
+
+def test_realman_decoded_cache_bit_identical(realman_dir, tmp_path,
+                                             monkeypatch):
+    """cache_dir mode (VERDICT r4 #6): items are bit-for-bit identical
+    to uncached mode under the same per-item seed, and after the first
+    pass every audio read is served from the cache (zero decodes)."""
+    import fnssl_tpu.data.realman as rm
+
+    ma, csv, noise = realman_dir
+    kw = dict(use_mic_id=[0, 1, 3, 5, 7], max_source=2, ext="wav")
+    cache = str(tmp_path / "decoded")
+    ds_plain = RealData(ma, [csv], noise, **kw)
+    ds_cached = RealData(ma, [csv], noise, cache_dir=cache, **kw)
+
+    items = [(i, 1000 + 7 * i) for i in range(3)]
+    for idx_seed in items:          # first pass populates the cache
+        a = ds_plain[idx_seed]
+        b = ds_cached[idx_seed]
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert len(os.listdir(cache)) > 0
+
+    calls = {"n": 0}
+    real = rm.read_audio
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(rm, "read_audio", counting)
+    c = ds_cached[items[0]]         # second pass: pure cache hits
+    assert calls["n"] == 0
+    for x, y in zip(ds_plain[items[0]], c):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
