@@ -215,10 +215,12 @@ def bench_ipdnet_train(tpu: bool):
 
 
 def bench_variable_ipdnet(tpu: bool):
-    """VariableIPDnet forward + training step: one 4-mic utterance per
-    step (VariableArrayIPDnet.py:107-118 conventions — mic pairs ride
-    the batch axis, P=6 'MM' pairs at nch=4). Returns
-    (fwd_ms, fwd_realtime_x, train_ms, train_realtime_x)."""
+    """VariableIPDnet forward + training step: a BATCH of same-topology
+    4-mic utterances per step (within-topology batching, VERDICT r4 #4 —
+    mic pairs ride the batch axis nb-major, P=6 'MM' pairs at nch=4,
+    per-utterance pair means). Returns
+    (fwd_ms, fwd_realtime_x, train_ms, train_realtime_x); realtime is
+    nb·t_s against the step wall."""
     import jax
 
     from fnssl_tpu.models.ipdnet import init_variable_ipdnet_params
@@ -226,7 +228,7 @@ def bench_variable_ipdnet(tpu: bool):
         init_train_state, make_optimizer, make_train_step)
     from fnssl_tpu.train.tasks import make_variable_ipdnet_task
 
-    nch, t_s = (4, 4.5) if tpu else (3, 0.5)
+    nch, t_s, nb = (4, 4.5, 8) if tpu else (3, 0.5, 2)
     iters = 5 if tpu else 1
     mic = np.zeros((nch, 3), np.float32)
     mic[:, 0] = np.linspace(-0.06, 0.06, nch)
@@ -237,15 +239,18 @@ def bench_variable_ipdnet(tpu: bool):
     nt2 = max(int(t_s * 16000 - 3328) // 3072 + 1, 1)
     batch = jax.device_put({
         "mic_sig": rng.standard_normal(
-            (1, int(t_s * 16000), nch)).astype(np.float32),
-        "doa": rng.uniform(0, np.pi, (1, nt2, 2, 2)).astype(np.float32),
-        "vad": np.ones((1, nt2, 2), np.float32),
+            (nb, int(t_s * 16000), nch)).astype(np.float32),
+        "doa": rng.uniform(0, np.pi, (nb, nt2, 2, 2)).astype(np.float32),
+        "vad": np.ones((nb, nt2, 2), np.float32),
     })
+    t_s = nb * t_s                       # audio seconds per step
     # forward: preprocessed feats through the pair-mean-embedding net
     from fnssl_tpu.models.ipdnet import variable_ipdnet_apply
     feats, _ = jax.jit(task.preprocess)(batch["mic_sig"], batch["doa"],
                                         batch["vad"])
-    fwd = jax.jit(lambda p, x: variable_ipdnet_apply(p, x, cfg=task.cfg))
+    npair = nch * (nch - 1) // 2
+    fwd = jax.jit(lambda p, x: variable_ipdnet_apply(p, x, cfg=task.cfg,
+                                                     npair=npair))
     _sync(fwd(params, feats))
     t0 = time.perf_counter()
     for _ in range(iters):

