@@ -985,6 +985,7 @@ def cmd_serve(args):
             apply_fn, params, init_state,
             feats_shape=(rows, cin, 256, frames_per_step),
             slots=args.slots)
+        pool.warmup()      # compile all tiers before accepting traffic
     make_loc, decode = _stream_session_factory(
         model, task, params, art, nch, frames_per_step, pool=pool)
 

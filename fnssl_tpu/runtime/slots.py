@@ -258,6 +258,25 @@ class BatchedStreamPool:
         with self._lock:
             self._free.append(slot)
 
+    def warmup(self):
+        """Compile every tier program ahead of traffic — a tier's first
+        use otherwise pays its jit compile (tens of seconds on a remote
+        chip) inside a live request when occupancy first crosses its
+        boundary. Runs each tier once with active=False (state scatters
+        back unchanged), so it is a pure compile+execute no-op."""
+        st = self.stepper
+        for s in st.tier_sizes:
+            if s not in st._tiers:
+                st._tiers[s] = st._make_tier(s)
+            ids = np.arange(s, dtype=np.int32)
+            feats = np.zeros((s * self.rows,) + self._feats_shape[1:],
+                             np.float32)
+            out, st._state = st._tiers[s](
+                st._params, st._state, feats, ids,
+                np.zeros(s, bool), np.zeros(s, bool))
+            np.asarray(out)                      # block until done
+        return self
+
     def close(self):
         self._stop = True
         self._event.set()

@@ -10,6 +10,6 @@ cd /root/repo
 export XLA_PYTHON_CLIENT_PREALLOCATE=false
 if [ ! -f runs_r5/variable_ipdnet_scale.json ]; then
   python examples/train_variable_ipdnet_scale_tpu.py \
-    /root/data_r4/varipd 704 256 12 8 || exit 1
+    /root/data_r4/varipd 704 256 12 4 || exit 1
 fi
 echo "=== VARIABLE RETRAIN DONE $(date) ==="
