@@ -25,7 +25,12 @@ the published 0.5 gate array-scale-invariant.
 
 Usage: python examples/train_variable_ipdnet_scale_tpu.py \
          [root=/root/data_r4/varipd] [n_per_geom=704] [n_test=256] \
-         [epochs=12] [bz=8]
+         [epochs=12] [bz=8] [lr_gamma=0.975] [out_json=...]
+
+lr_gamma is the PER-EPOCH decay; when bz changes the steps/epoch, pass
+gamma**(old_steps/new_steps) to keep the per-STEP lr schedule identical
+to a baseline run (e.g. bz=4 vs the r4 bz=1 run: 0.975**0.25=0.99369,
+with 4x the epochs for an equal optimizer-step budget).
 """
 import json
 import os
@@ -54,6 +59,9 @@ N_PER_GEOM = int(sys.argv[2]) if len(sys.argv) > 2 else 704
 N_TEST = int(sys.argv[3]) if len(sys.argv) > 3 else 256
 EPOCHS = int(sys.argv[4]) if len(sys.argv) > 4 else 12
 BZ = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+LR_GAMMA = float(sys.argv[6]) if len(sys.argv) > 6 else 0.975
+OUT_JSON = (sys.argv[7] if len(sys.argv) > 7
+            else "runs_r5/variable_ipdnet_scale.json")
 T, FS = 4.5, 16000
 
 
@@ -102,7 +110,7 @@ print(f"corpus ready ({3 * N_PER_GEOM}+{N_TEST} scenes, 4 geometries): "
 from fnssl_tpu.train.tasks import make_variable_ipdnet_task
 
 steps_per_epoch = 3 * (N_PER_GEOM // BZ)   # same-topology batches
-tx = make_optimizer("adam", 5e-4, 0.975, steps_per_epoch)
+tx = make_optimizer("adam", 5e-4, LR_GAMMA, steps_per_epoch)
 tasks, steps, loaders = [], [], []
 for g, mic in enumerate(TRAIN_GEOMS):
     task = make_variable_ipdnet_task(mic_location=mic, precision="bf16")
@@ -173,7 +181,7 @@ m03 = evaluate(state.params, 0.3)
 m05n = evaluate(state.params, 0.5, decoder=pred_doa_norm)
 m03n = evaluate(state.params, 0.3, decoder=pred_doa_norm)
 out = {"n_per_geom": N_PER_GEOM, "n_test": N_TEST, "epochs": EPOCHS,
-       "bz": BZ, "train_s": round(train_s, 1),
+       "bz": BZ, "lr_gamma": LR_GAMMA, "train_s": round(train_s, 1),
        "heldout_gate05": m05, "heldout_gate03": m03,
        "heldout_gate05_scalenorm": m05n, "heldout_gate03_scalenorm": m03n,
        "history": history}
@@ -181,6 +189,6 @@ print(json.dumps({"heldout_gate05": m05, "heldout_gate03": m03,
                   "heldout_gate05_scalenorm": m05n,
                   "heldout_gate03_scalenorm": m03n,
                   "train_s": round(train_s, 1)}), flush=True)
-os.makedirs("runs_r5", exist_ok=True)
-with open("runs_r5/variable_ipdnet_scale.json", "w") as f:
+os.makedirs(os.path.dirname(OUT_JSON) or ".", exist_ok=True)
+with open(OUT_JSON, "w") as f:
     json.dump(out, f, indent=1)
