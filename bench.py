@@ -351,7 +351,8 @@ def bench_slot_pool(tpu: bool, streams: int = 16, chunks: int = 40):
                              feats_shape=(1, 4, 256, k), slots=streams)
     rng = np.random.default_rng(0)
     feats = rng.standard_normal((1, 4, 256, k)).astype(np.float32)
-    warm = pool.session()                        # compile outside timing
+    pool.warmup()             # compile EVERY tier program outside timing
+    warm = pool.session()
     warm(feats)
     warm.close()
 
@@ -421,7 +422,9 @@ def bench_tcp_serve(tpu: bool, conns: int = 16):
         (int(fs * t_audio), 2)).astype(np.float32)
     block = 3072                                 # 192 ms = 1 output blk
     n_chunks = int(np.ceil(sig.shape[0] / block))
-    # warmup (compile happens on the first connection's first chunk)
+    # compile every tier program before timing anything — without this
+    # the >1-occupancy tiers would compile INSIDE the 16-conn region
+    pool.warmup()
     stream_client("127.0.0.1", server.port, sig[:block * 4], block=block)
 
     # 1 connection, interleaved live pattern (read after every 2 blocks
