@@ -28,6 +28,7 @@ from __future__ import annotations
 
 
 import os
+import threading
 
 import numpy as np
 import scipy.signal
@@ -134,11 +135,16 @@ class RealData:
                 self._fs_index[npy] = fs
             return np.load(npy, mmap_mode="r"), fs
         data, fs = read_audio(path)
-        tmpf = f"{fsf}.{os.getpid()}.tmp"
+        # unique per WRITER: pid alone collides when two loader THREADS
+        # of one process decode the same channel concurrently — the
+        # first os.replace consumes the shared tmp and the second dies
+        # FileNotFoundError (observed live, r5 queue C)
+        uniq = f"{os.getpid()}.{threading.get_ident()}"
+        tmpf = f"{fsf}.{uniq}.tmp"
         with open(tmpf, "w") as f:
             f.write(str(int(fs)))
         os.replace(tmpf, fsf)
-        tmp = f"{npy}.{os.getpid()}.tmp.npy"
+        tmp = f"{npy}.{uniq}.tmp.npy"
         np.save(tmp, data)
         os.replace(tmp, npy)
         self._fs_index[npy] = int(fs)

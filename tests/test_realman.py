@@ -130,3 +130,37 @@ def test_realman_decoded_cache_bit_identical(realman_dir, tmp_path,
     assert calls["n"] == 0
     for x, y in zip(ds_plain[items[0]], c):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_realman_cache_concurrent_decode(realman_dir, tmp_path):
+    """Two loader THREADS decoding the same uncached channel must both
+    succeed (regression: a pid-only tmp name collided across threads —
+    the first os.replace consumed the shared tmp and the second raised
+    FileNotFoundError; observed live in the r5 cached RealMAN fit)."""
+    import threading
+
+    ma, csv, noise = realman_dir
+    ds = RealData(ma, [csv], noise, cache_dir=str(tmp_path / "dec"),
+                  use_mic_id=[0, 1, 3, 5, 7], max_source=2, ext="wav")
+    path = os.path.join(str(ma), "rec0_CH0.wav")
+    barrier = threading.Barrier(4)
+    errs = []
+
+    def hit():
+        try:
+            barrier.wait()
+            for _ in range(5):
+                ds._read_cached(path)
+        except Exception as e:       # pragma: no cover - the regression
+            errs.append(e)
+
+    threads = [threading.Thread(target=hit) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    a, fs = ds._read_cached(path)
+    b, fs2 = ds._read_cached(path)
+    assert fs == fs2 == FS
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
