@@ -235,6 +235,48 @@ def test_multitrack_pred_doa(rng, tmp_path):
     assert os.path.exists(tmp_path / "3_doaest.npy")
 
 
+def test_multitrack_scale_norm_makes_gate_scale_invariant(rng):
+    """scale_norm='utterance' (BASELINE.md r4 cross-geometry fix): a
+    uniformly deflated LS-score distribution — the template-mismatch
+    signature on an unseen array — clears the published 0.5 gate after
+    per-utterance normalization, while a well-scaled utterance in the
+    SAME batch is left untouched (normalizer floored at the gate)."""
+    from fnssl_tpu.eval import PredDOAMultiTrack
+
+    mic = np.array([[-0.04, 0, 0], [0.04, 0, 0]])
+    raw = PredDOAMultiTrack(mic)
+    norm = PredDOAMultiTrack(mic, scale_norm="utterance")
+    tmpl = np.asarray(raw.template)          # (1, 180, 2nf, P)
+    i1, i2 = 40, 130
+    nb, nt = 2, 5
+    pred = np.zeros((nb, nt, tmpl.shape[2], tmpl.shape[3], 2), np.float32)
+    pred[..., 0] = tmpl[0, i1]
+    pred[..., 1] = tmpl[0, i2]
+    pred[1] *= 0.35          # utterance 1: deflated scores (LS scale .35)
+    gt_doa = np.zeros((nb, nt, 2, 2), np.float32)
+    gt_doa[:, :, 0] = np.pi / 2
+    gt_doa[:, :, 1, 0] = raw.azi_candidate[i1]
+    gt_doa[:, :, 1, 1] = raw.azi_candidate[i2]
+    gt = {"doa": gt_doa, "vad_sources": np.ones((nb, nt, 2), np.float32)}
+
+    p_raw, _ = raw.pred2doa(pred)
+    p_norm, _ = norm.pred2doa(pred)
+    v_raw = np.asarray(p_raw["vad_sources"])
+    v_norm = np.asarray(p_norm["vad_sources"])
+    # utterance 0 is well-scaled (LS scale ~1): normalization is a no-op
+    np.testing.assert_allclose(v_norm[0], v_raw[0], atol=1e-5)
+    # utterance 1: raw scores sit under the published gate, normalized
+    # scores clear it (0.35 / max(q95~0.35, floor 0.5) = 0.7)
+    assert v_raw[1].max() < 0.5
+    assert v_norm[1].min() > 0.5
+    # and the metrics at the published gate recover cross-"geometry"
+    m_raw = raw.evaluate(*raw.pred2doa(pred, gt))
+    m_norm = norm.evaluate(*norm.pred2doa(pred, gt))
+    assert m_raw["ACC"] <= 0.5          # deflated utterance undetected
+    assert m_norm["ACC"] == pytest.approx(1.0)
+    assert m_norm["MAE"] == pytest.approx(0.0, abs=1e-4)
+
+
 def test_mse_decode_recovers_and_scores(rng):
     """IPDnet2 MSE decode: exact template → its grid DOA with score 0;
     inverted-comparator metric path accepts low-MSE detections."""
