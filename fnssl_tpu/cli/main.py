@@ -367,6 +367,34 @@ def _init_params(name: str, task, seed: int):
     raise SystemExit(name)
 
 
+def _eval_schedule(sched, bz: int, static_shapes: bool):
+    """Eval must never silently lose samples (reference eval iterates the
+    whole split; drop_last is a TRAIN contract). Two regimes:
+
+    - dynamic shapes (single process, no mesh): keep the ragged final
+      batch — ``eval_epoch`` weights per batch, one extra jit trace.
+    - static shapes (multi-process world / device mesh): a ragged local
+      batch cannot assemble into the fixed global array, so wrap-pad the
+      schedule to a bz multiple (DistributedSampler semantics — the
+      duplicates are deterministic and identical-length on every rank).
+      Returns (schedule, drop_last).
+    """
+    if not static_shapes:
+        return sched, False
+    if sched and len(sched) % bz:
+        import itertools
+        target = -(-len(sched) // bz) * bz
+        sched = list(itertools.islice(itertools.cycle(sched), target))
+    return sched, True
+
+
+def _static_shapes(args) -> bool:
+    import jax
+    return (getattr(args, "use_mesh", False)
+            or (getattr(args, "num_processes", None) or 1) > 1
+            or jax.process_count() > 1)
+
+
 def _realman_batches(args, bz: int, epoch: int, seed: int,
                      shuffle: bool, data_dir: str | None = None,
                      csv: str | None = None):
@@ -380,15 +408,20 @@ def _realman_batches(args, bz: int, epoch: int, seed: int,
                   use_mic_id=mic_ids, max_source=2, ext=args.realman_ext,
                   cache_dir=getattr(args, "realman_cache", None))
     sched = host_local_slice(len(ds), epoch, seed=seed, shuffle=shuffle)
+    drop_last = True
+    if not shuffle:
+        sched, drop_last = _eval_schedule(sched, bz, _static_shapes(args))
     return DataLoader(lambda item: ds[item], sched, bz, collate_realman,
                       num_workers=getattr(args, "workers", 2),
-                      prefetch=getattr(args, "prefetch", 2))
+                      prefetch=getattr(args, "prefetch", 2),
+                      drop_last=drop_last)
 
 
 def _batches(data_dir: str, bz: int, epoch: int, seed: int,
              shuffle: bool, pad_tracks: int | None = None,
              workers: int = 2, prefetch: int = 2,
-             dataset_sz: int | None = None):
+             dataset_sz: int | None = None,
+             static_shapes: bool = False):
     """Deterministic per-epoch sharded batches from a wav+npz dir,
     assembled on the prefetching loader so file IO + segmenting overlap
     the device step."""
@@ -399,10 +432,13 @@ def _batches(data_dir: str, bz: int, epoch: int, seed: int,
     ds = FixTrajectoryDataset(data_dir, dataset_sz=dataset_sz,
                               transforms=[Segmenting()])
     sched = host_local_slice(len(ds), epoch, seed=seed, shuffle=shuffle)
+    drop_last = True
+    if not shuffle:
+        sched, drop_last = _eval_schedule(sched, bz, static_shapes)
     return DataLoader(
         lambda entry: ds[entry[0]], sched, bz,
         lambda items: collate_segmented(items, pad_tracks=pad_tracks),
-        num_workers=workers, prefetch=prefetch)
+        num_workers=workers, prefetch=prefetch, drop_last=drop_last)
 
 
 def cmd_simulate(args):
@@ -558,7 +594,8 @@ def cmd_fit(args):
                                       dataset_sz=args.train_size)
         valid_fn = lambda e: _batches(args.valid_dir, args.bz, 0,  # noqa
                                       args.seed, False, pad,
-                                      args.workers, args.prefetch)
+                                      args.workers, args.prefetch,
+                                      static_shapes=_static_shapes(args))
     # The γ^epoch decay steps at EPOCH boundaries (torch ExponentialLR
     # semantics): the optimizer's step counter must know the epoch
     # length, or the decay is applied per step and the lr collapses
@@ -741,7 +778,8 @@ def cmd_test(args):
         batches = _batches(args.data_dir, args.bz, 0, args.seed, False,
                            getattr(task.cfg, "max_track", None),
                            getattr(args, "workers", 2),
-                           getattr(args, "prefetch", 2))
+                           getattr(args, "prefetch", 2),
+                           static_shapes=_static_shapes(args))
     metrics = learner.test(batches)
     learner.close()
     print(json.dumps(metrics))

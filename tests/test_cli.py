@@ -365,3 +365,40 @@ def test_cli_fit_rss_restart_execs_with_resume(workdir, monkeypatch,
     main(restart)
     out = capsys.readouterr().out
     assert "resumed from epoch 0" in out
+
+
+def test_eval_never_drops_samples(workdir):
+    """Eval loaders keep every sample (VERDICT r4 #8 follow-up: the
+    4-way-world valid NaN). Dynamic shapes keep the ragged tail batch;
+    static worlds (mesh / multi-process) wrap-pad to a bz multiple so
+    every rank yields equal full-size batches."""
+    from fnssl_tpu.cli.main import _batches, _eval_schedule
+
+    # unit: schedule semantics
+    sched = [(0, 10), (1, 11), (2, 12)]
+    dyn, drop = _eval_schedule(sched, 2, static_shapes=False)
+    assert dyn == sched and drop is False
+    padded, drop = _eval_schedule(sched, 2, static_shapes=True)
+    assert padded == sched + [sched[0]] and drop is True
+    exact, drop = _eval_schedule(sched[:2], 2, static_shapes=True)
+    assert exact == sched[:2] and drop is True
+    one, drop = _eval_schedule(sched[:1], 4, static_shapes=True)
+    assert one == [sched[0]] * 4 and drop is True       # wraps repeatedly
+    empty, _ = _eval_schedule([], 4, static_shapes=True)
+    assert empty == []
+
+    # integration: 3 scenes, bz 2 — eval yields 2 batches (2+1 rows
+    # dynamic; 2+2 with a wrapped duplicate under static shapes), train
+    # keeps the fixed-shape drop_last contract (1 batch)
+    if not os.path.exists("data/train"):
+        main(["simulate", "--out", "data/train", "--num", "3", "--T",
+              "0.5", "--nb-points", "4", "--seed", "1"])
+    rows = lambda b: b["mic_sig"].shape[0] if "mic_sig" in b else \
+        next(iter(b.values())).shape[0]
+    dyn_batches = list(_batches("data/train", 2, 0, 2, False, workers=0))
+    assert [rows(b) for b in dyn_batches] == [2, 1]
+    stat_batches = list(_batches("data/train", 2, 0, 2, False, workers=0,
+                                 static_shapes=True))
+    assert [rows(b) for b in stat_batches] == [2, 2]
+    train_batches = list(_batches("data/train", 2, 0, 2, True, workers=0))
+    assert [rows(b) for b in train_batches] == [2]
