@@ -351,7 +351,7 @@ def bench_slot_pool(tpu: bool, streams: int = 16, chunks: int = 40):
                              feats_shape=(1, 4, 256, k), slots=streams)
     rng = np.random.default_rng(0)
     feats = rng.standard_normal((1, 4, 256, k)).astype(np.float32)
-    pool.warmup()             # compile EVERY tier program outside timing
+    pool.warmup(verbose=tpu)  # compile EVERY tier program outside timing
     warm = pool.session()
     warm(feats)
     warm.close()
@@ -424,7 +424,7 @@ def bench_tcp_serve(tpu: bool, conns: int = 16):
     n_chunks = int(np.ceil(sig.shape[0] / block))
     # compile every tier program before timing anything — without this
     # the >1-occupancy tiers would compile INSIDE the 16-conn region
-    pool.warmup()
+    pool.warmup(verbose=tpu)
     stream_client("127.0.0.1", server.port, sig[:block * 4], block=block)
 
     # 1 connection, interleaved live pattern (read after every 2 blocks

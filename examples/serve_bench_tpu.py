@@ -19,10 +19,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import bench
 
+print("slot-pool bench: building + warming tiers...", flush=True)
 lat_ms, agg_rt, ticks = bench.bench_slot_pool(True)
 print(json.dumps({"slot_pool16_latency_ms": round(lat_ms, 2),
                   "slot_pool16_aggregate_rt_x": round(agg_rt, 1),
                   "ticks": int(ticks)}), flush=True)
+print("tcp serve bench: building + warming tiers...", flush=True)
 rtt_ms, agg16, n_chunks = bench.bench_tcp_serve(True)
 out = {"slot_pool16_latency_ms": round(lat_ms, 2),
        "slot_pool16_aggregate_rt_x": round(agg_rt, 1),

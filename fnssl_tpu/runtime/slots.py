@@ -258,14 +258,20 @@ class BatchedStreamPool:
         with self._lock:
             self._free.append(slot)
 
-    def warmup(self):
+    def warmup(self, verbose: bool = False):
         """Compile every tier program ahead of traffic — a tier's first
         use otherwise pays its jit compile (tens of seconds on a remote
         chip) inside a live request when occupancy first crosses its
         boundary. Runs each tier once with active=False (state scatters
-        back unchanged), so it is a pure compile+execute no-op."""
+        back unchanged), so it is a pure compile+execute no-op.
+        ``verbose`` prints per-tier compile wall times (the compiles
+        dominate cold-start; on a contended chip they can run minutes,
+        so long-running harnesses want the progress line)."""
+        import time as _time
+
         st = self.stepper
         for s in st.tier_sizes:
+            t0 = _time.perf_counter()
             if s not in st._tiers:
                 st._tiers[s] = st._make_tier(s)
             ids = np.arange(s, dtype=np.int32)
@@ -275,6 +281,9 @@ class BatchedStreamPool:
                 st._params, st._state, feats, ids,
                 np.zeros(s, bool), np.zeros(s, bool))
             np.asarray(out)                      # block until done
+            if verbose:
+                print(f"slot-pool tier {s} warm: "
+                      f"{_time.perf_counter() - t0:.1f}s", flush=True)
         return self
 
     def close(self):
