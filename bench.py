@@ -414,7 +414,8 @@ def bench_tcp_serve(tpu: bool, conns: int = 16):
     pool = BatchedStreamPool(apply_fn, params, init_state,
                              feats_shape=(1, 4, 256, 12), slots=conns)
     make_loc, decode = _stream_session_factory(
-        "fnssl", task, params, None, 2, 12, pool=pool)
+        "fnssl", task, params, None, 2, 12, pool=pool,
+        host_compute=True)
     server = LocalizationServer(lambda: (make_loc(), decode)).start()
 
     fs, t_audio = 16000, (4.8 if tpu else 1.0)

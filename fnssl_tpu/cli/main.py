@@ -885,16 +885,45 @@ def _load_stream_model(args):
 
 
 def _stream_session_factory(model, task, params, art, nch,
-                            frames_per_step, pool=None):
+                            frames_per_step, pool=None,
+                            host_compute=False):
     """Build (make_localizer, decode) for one model family — every call
     to make_localizer() is an independent stream (fresh model state +
     forgetting-norm statistics); decode is stateless and shared.
     ``pool`` (a runtime.slots.BatchedStreamPool) swaps the per-stream
-    chunk step for a leased slot in one batched device program."""
+    chunk step for a leased slot in one batched device program.
+    ``host_compute`` pins the per-chunk front-end (STFT/norm/features)
+    and the DOA decode to the local CPU jax device: both are chains of
+    tiny ops, and on a remote/tunneled accelerator every one of them is
+    a round trip — with the flag set, the accelerator sees exactly one
+    call per chunk (the batched pool step / model chunk step). Serving
+    turns it on; numerics are the same fp32 math on a different
+    backend."""
+    import contextlib
+
+    import jax
+
     from fnssl_tpu.eval import PredDOA, PredDOAMultiTrack
     from fnssl_tpu.runtime.streaming import (
         StreamingLocalizer, make_fnssl_stream_step,
         make_ipdnet_stream_step, make_spatialnet_stream_step)
+
+    host_dev = jax.devices("cpu")[0] if host_compute else None
+
+    def _ctx():
+        return (jax.default_device(host_dev) if host_dev is not None
+                else contextlib.nullcontext())
+
+    def _host(decode_fn):
+        """Run a decode on the host CPU device (templates are committed
+        there by constructing the decoder under the same context)."""
+        if host_dev is None:
+            return decode_fn
+
+        def wrapped(chunk):
+            with jax.default_device(host_dev):
+                return decode_fn(chunk)
+        return wrapped
 
     def _step():
         if pool is not None:
@@ -909,35 +938,40 @@ def _stream_session_factory(model, task, params, art, nch,
 
     if model == "fnssl_doa":
         from fnssl_tpu.eval import predgt2doa_cls
-        decode = lambda chunk: predgt2doa_cls(  # noqa: E731
-            np.asarray(chunk, np.float32))[0]
+        decode = _host(lambda chunk: predgt2doa_cls(
+            np.asarray(chunk, np.float32))[0])
         make_loc = lambda: StreamingLocalizer(  # noqa: E731
             _step(), nch=nch, ch_mode="MM",
-            frames_per_step=frames_per_step)
+            frames_per_step=frames_per_step, device=host_dev)
     elif model.startswith("fnssl"):
-        decoder = PredDOA()
-        decode = lambda chunk: decoder.predgt2doa(  # noqa: E731
-            np.asarray(chunk, np.float32))[0]
+        with _ctx():
+            decoder = PredDOA()
+        decode = _host(lambda chunk: decoder.predgt2doa(
+            np.asarray(chunk, np.float32))[0])
         make_loc = lambda: StreamingLocalizer(  # noqa: E731
             _step(), nch=nch, ch_mode="MM",
-            frames_per_step=frames_per_step)
+            frames_per_step=frames_per_step, device=host_dev)
     elif model == "ipdnet":
-        decoder = PredDOAMultiTrack(task.dpipd.mic_location,
-                                    max_track=task.cfg.max_track)
-        decode = lambda chunk: decoder.pred2doa(  # noqa: E731
-            np.asarray(chunk, np.float32))[0]
+        with _ctx():
+            decoder = PredDOAMultiTrack(task.dpipd.mic_location,
+                                        max_track=task.cfg.max_track)
+        decode = _host(lambda chunk: decoder.pred2doa(
+            np.asarray(chunk, np.float32))[0])
         make_loc = lambda: StreamingLocalizer(  # noqa: E731
             _step(), nch=nch, ch_mode="none", sample_length=280,
-            frames_per_step=frames_per_step)
+            frames_per_step=frames_per_step, device=host_dev)
     elif model == "ipdnet2":
         # IPDnet2 front-end: torch.stft(center=True), hop 0.625·512,
         # forgetting-norm L=249, all channels (run_IPDnet2.py:82-113)
-        decoder = PredDOAMultiTrack(task.dpipd.mic_location, max_track=2)
-        decode = lambda chunk: decoder.pred2doa(  # noqa: E731
-            np.asarray(chunk, np.float32))[0]
+        with _ctx():
+            decoder = PredDOAMultiTrack(task.dpipd.mic_location,
+                                        max_track=2)
+        decode = _host(lambda chunk: decoder.pred2doa(
+            np.asarray(chunk, np.float32))[0])
         make_loc = lambda: StreamingLocalizer(  # noqa: E731
             _step(), nch=nch, ch_mode="none", hop=320, center=True,
-            sample_length=249, frames_per_step=frames_per_step)
+            sample_length=249, frames_per_step=frames_per_step,
+            device=host_dev)
     else:
         raise SystemExit(f"stream: model {model!r} is not causal "
                          "(the offline/bidirectional variants see future "
@@ -1025,7 +1059,8 @@ def cmd_serve(args):
             slots=args.slots)
         pool.warmup()      # compile all tiers before accepting traffic
     make_loc, decode = _stream_session_factory(
-        model, task, params, art, nch, frames_per_step, pool=pool)
+        model, task, params, art, nch, frames_per_step, pool=pool,
+        host_compute=True)
 
     server = LocalizationServer(lambda: (make_loc(), decode),
                                 host=args.host, port=args.port)

@@ -14,6 +14,7 @@ frame-chunk (12 frames for FN-SSL/IPDnet, 5 for IPDnet2) is buffered.
 """
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import Callable
 
@@ -36,14 +37,24 @@ class StreamingLocalizer:
       nch: microphone count.
       ch_mode: 'M'/'MM' pair features, or 'none' (all channels).
       frames_per_step: model chunk size (12 FN-SSL/IPDnet, 5 IPDnet2).
+      device: optional jax.Device the FRONT-END (STFT framing,
+        forgetting-norm, feature assembly) runs on. The front-end is a
+        chain of tiny ops; on a remote/tunneled accelerator each one is
+        a host↔device round trip that dwarfs its compute (the measured
+        r4 single-connection serve RTT), so serving passes the local
+        CPU device here and the accelerator sees exactly ONE call per
+        chunk — the model step. None keeps everything on the default
+        device (the one-shot-parity configuration the streaming tests
+        pin down).
     """
 
     def __init__(self, model_step: Callable, nch: int, *,
                  ch_mode: str = "MM", win_len: int = 512, hop: int = 256,
                  nfft: int = 512, sample_length: int = 298,
                  frames_per_step: int = 12, eps: float = 1e-6,
-                 center: bool = False):
+                 center: bool = False, device=None):
         self.model_step = model_step
+        self._device = device
         self.nch = nch
         self.ch_mode = ch_mode
         self.win_len, self.hop, self.nfft = win_len, hop, nfft
@@ -58,11 +69,18 @@ class StreamingLocalizer:
         # frames simply fire once real audio fills their window.)
         self._need_prefix = bool(center)
         rows = (num_pairs(nch, ch_mode) if ch_mode != "none" else 1)
-        self._norm_state = init_state(rows)
+        with self._frontend_ctx():
+            # committed to the front-end device: every op touching the
+            # carried norm state then runs there without annotation
+            self._norm_state = jax.tree.map(jnp.asarray, init_state(rows))
         self._samples = np.zeros((0, nch), np.float32)
         self._frames = None          # (rows, 2, nf, nt) complex buffer
         self.processed_s = 0.0
         self.compute_s = 0.0
+
+    def _frontend_ctx(self):
+        return (jax.default_device(self._device)
+                if self._device is not None else contextlib.nullcontext())
 
     def _frame_chunk(self) -> jax.Array | None:
         """Consume buffered samples into STFT frames (exact one-shot
@@ -93,22 +111,29 @@ class StreamingLocalizer:
         self._samples = np.concatenate(
             [self._samples, np.asarray(chunk, np.float32)], axis=0)
         self.processed_s += chunk.shape[0] / 16000.0
-        spec = self._frame_chunk()
-        if spec is not None:
-            self._frames = (spec if self._frames is None else
-                            jnp.concatenate([self._frames, spec], -1))
+        with self._frontend_ctx():
+            spec = self._frame_chunk()
+            if spec is not None:
+                self._frames = (spec if self._frames is None else
+                                jnp.concatenate([self._frames, spec], -1))
         outputs = []
         k = self.frames_per_step
         while self._frames is not None and self._frames.shape[-1] >= k:
-            frames, self._frames = (self._frames[..., :k],
-                                    self._frames[..., k:])
-            mag = jnp.abs(frames)
-            mean, self._norm_state = forgetting_norm_streaming(
-                mag, self._norm_state, sample_length=self.sample_length)
-            denom = mean + self.eps
-            feats = jnp.concatenate([jnp.real(frames) / denom,
-                                     jnp.imag(frames) / denom], axis=1)
-            feats = feats[:, :, 1: self.nfft // 2 + 1, :]
+            with self._frontend_ctx():
+                frames, self._frames = (self._frames[..., :k],
+                                        self._frames[..., k:])
+                mag = jnp.abs(frames)
+                mean, self._norm_state = forgetting_norm_streaming(
+                    mag, self._norm_state,
+                    sample_length=self.sample_length)
+                denom = mean + self.eps
+                feats = jnp.concatenate([jnp.real(frames) / denom,
+                                         jnp.imag(frames) / denom], axis=1)
+                feats = feats[:, :, 1: self.nfft // 2 + 1, :]
+                if self._device is not None:
+                    # hand the model step (pool submit / jitted chunk
+                    # step on the accelerator) a plain host array
+                    feats = np.asarray(feats)
             out = self.model_step(feats)
             # block so self.rtf reflects true wall-clock compute (async
             # dispatch would otherwise undercount massively)

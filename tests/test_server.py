@@ -210,3 +210,50 @@ def test_cli_serve_slot_batched(tmp_path, monkeypatch, capsys):
     assert len(outs) == len(want) >= 1
     for g, w in zip(outs, want):
         np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+
+def test_host_compute_frontend_matches_default(fnssl_setup):
+    """host_compute=True (serving default: front-end STFT/norm + DOA
+    decode pinned to the local CPU jax device so a remote accelerator
+    sees exactly one call per chunk) is the same math — outputs match
+    the default-device path over identical pushes, and the model step
+    receives plain host arrays."""
+    from fnssl_tpu.cli.main import _stream_session_factory
+    from fnssl_tpu.train.tasks import make_fnssl_task
+
+    params, cfg, _, _ = fnssl_setup
+    task = make_fnssl_task()
+    sig = np.random.default_rng(7).standard_normal(
+        (16000, 2)).astype(np.float32) * 0.1
+
+    def run(host_compute):
+        seen_types = []
+
+        def spy_step():
+            step = make_fnssl_stream_step(params, cfg)
+
+            def wrapped(feats):
+                seen_types.append(type(feats))
+                return step(feats)
+            return wrapped
+
+        make_loc, decode = _stream_session_factory(
+            "fnssl", task, params, None, 2, 12,
+            host_compute=host_compute)
+        loc = make_loc()
+        loc.model_step = spy_step()
+        out = []
+        for start in range(0, sig.shape[0], 1600):
+            for chunk in loc.push(sig[start: start + 1600]):
+                res = decode(chunk)
+                out.append((np.asarray(res["doa"]),
+                            np.asarray(res["vad_sources"])))
+        return out, seen_types
+
+    got, types_host = run(True)
+    want, _ = run(False)
+    assert len(got) == len(want) >= 3
+    assert all(t is np.ndarray for t in types_host)
+    for (gd, gv), (wd, wv) in zip(got, want):
+        np.testing.assert_allclose(gd, wd, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(gv, wv, rtol=1e-5, atol=1e-5)
