@@ -996,8 +996,12 @@ def cmd_stream(args):
     if sig.ndim == 1:
         raise SystemExit("stream needs a multichannel wav")
     sig = sig.astype(np.float32)
+    # deployment-realistic front-end placement: the tiny STFT/norm ops
+    # run on the local CPU device, the chip sees one call per chunk
+    # (the same configuration `cli serve` uses)
     make_loc, decode = _stream_session_factory(
-        model, task, params, art, sig.shape[1], frames_per_step)
+        model, task, params, art, sig.shape[1], frames_per_step,
+        host_compute=True)
     loc = make_loc()
 
     import time
