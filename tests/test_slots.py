@@ -195,3 +195,30 @@ def test_pool_exhaustion_raises(pool_setup):
         pool.session()
     for s in leases:
         s.close()
+
+
+def test_feat_upload_dtype_follows_params():
+    """bf16-served params upload features as bf16 (half the host→device
+    payload per tick — train/precision.py casts inputs to bf16 around
+    apply anyway, so the numerics are the established bf16 policy);
+    float32 and non-array (python scalar) params keep float32 feats."""
+    import jax
+    import jax.numpy as jnp
+
+    from fnssl_tpu.runtime.slots import SlotBatchedStepper
+
+    apply_fn, params, init_state = _toy_model()
+    st = SlotBatchedStepper(apply_fn, params, init_state, slots=2)
+    assert st._feat_dtype == np.float32          # python-scalar params
+
+    arr_params = {"w": jnp.asarray(3.0, jnp.float32)}
+    st = SlotBatchedStepper(apply_fn, arr_params, init_state, slots=2)
+    assert st._feat_dtype == np.float32
+
+    bf_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), arr_params)
+    st = SlotBatchedStepper(apply_fn, bf_params, init_state, slots=2)
+    assert st._feat_dtype == jnp.bfloat16
+    out = st.step_slots(np.arange(1, dtype=np.int32),
+                        np.ones((1, 4), np.float32), np.zeros(1, bool))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               [[3.0, 3.0]], rtol=1e-2)
