@@ -26,7 +26,8 @@ while true; do
     cp "$D/config.json" "$A/" 2>/dev/null
     cp "$D/metrics.jsonl" "$A/" 2>/dev/null
     cp "$D.test_partial.json" "$A/eval_partial.json"
-    git add "$A" && git commit -q -m "archive: 32k scaling point partial eval (best checkpoint mid-fit, deadline contingency)" || true
+    python runs_r5/append_32k_row.py "$D.test_partial.json" partial || true
+    git add "$A" BASELINE.md && git commit -q -m "archive: 32k scaling point partial eval (best checkpoint mid-fit, deadline contingency)" || true
   fi
   sleep 45
 done
@@ -35,5 +36,6 @@ mkdir -p "$A"
 cp "$D/config.json" "$A/" 2>/dev/null
 cp "$D/metrics.jsonl" "$A/" 2>/dev/null
 cp "$D.test.json" "$A/eval.json"
-git add "$A" && git commit -q -m "archive: 32,768-scene IPDnet scaling point at the 20,480-step equal budget (queue G3)" || true
+python runs_r5/append_32k_row.py "$D.test.json" full || true
+git add "$A" BASELINE.md && git commit -q -m "archive: 32,768-scene IPDnet scaling point at the 20,480-step equal budget (queue G3)" || true
 echo "=== WATCH 32K DONE $(date) ==="
